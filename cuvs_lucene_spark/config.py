@@ -1,0 +1,119 @@
+"""Index/build/query configuration.
+
+Mirrors the parameter surface of the reference (SURVEY.md §2.6):
+``GPUSearchParams`` defaults (reference ``GPUSearchParams.java:46-54``) map to
+ANN sidecar knobs; BM25 constants are pinned by the north rule (k1=1.2,
+b=0.75); the CAGRA/IVF-PQ parameter heuristics replicate
+``CagraIndexParamsFactory.java:22,31-93,149-178`` formula-for-formula.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    """BM25 scoring constants (north rule pins k1=1.2, b=0.75).
+
+    Scoring formula used on BOTH the engine and every oracle:
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))        # Lucene's idf
+        s(t, d) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    accumulated in float64, tie-break (score desc, ext_id asc).
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class AnnParams:
+    """ANN sidecar parameters.
+
+    ``graph_degree``/``intermediate_graph_degree``/``nn_descent_iters``
+    mirror the reference defaults (``GPUSearchParams.java:46-54``); the
+    ``max_dims``/``max_k_ann`` limits mirror
+    ``CuVS2510GPUVectorsFormat.java:27`` and
+    ``CuVS2510GPUVectorsReader.java:438``.
+    """
+
+    metric: str = "l2"  # l2 | cosine | dot  (EUCLIDEAN/COSINE/DOT, SURVEY §1.2)
+    graph_degree: int = 64
+    intermediate_graph_degree: int = 128
+    nn_descent_iters: int = 20
+    max_dims: int = 4096
+    max_k_ann: int = 1024          # k beyond this routes to brute force (S1)
+    min_ann_index_size: int = 2    # below this fall back to brute force (B2)
+    kmeans_iters: int = 10
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Full engine configuration passed to build / merge / query entry points."""
+
+    bm25: BM25Params = field(default_factory=BM25Params)
+    ann: AnnParams = field(default_factory=AnnParams)
+
+    # --- segmentation (a segment ≙ one Lucene flush unit, SURVEY §1.1) ---
+    rows_per_segment: int = 100_000     # target docs per segment
+    n_segments: int | None = None       # explicit override (tests)
+
+    # --- posting codec (B14/B15 recipe: sort→delta→varint + block directory) ---
+    block_size: int = 128               # postings per block
+    prune_range: int = 2048             # doc-range granularity for block-max pruning
+
+    # --- shuffle/skew handling ---
+    term_buckets: int = 64              # postings partition column (query-side pruning)
+    salt_factor: int = 8                # salted two-stage merge for hot terms
+    merge_fanin: int = 10               # hierarchical merge fan-in
+
+    # --- query defaults ---
+    default_k: int = 10
+    overfetch: int = 10                 # filtered-search widening: min(k+10, |mask|)
+                                        # (CuVS2510GPUVectorsReader.java:432)
+
+
+# ---------------------------------------------------------------------------
+# Reference parameter heuristics, replicated formula-for-formula
+# (CagraIndexParamsFactory.java — SURVEY.md O1/O2/B5).
+# ---------------------------------------------------------------------------
+
+NN_DESCENT_THRESHOLD = 5_000_000  # CagraIndexParamsFactory.java:22
+
+
+def choose_build_algo(n_rows: int) -> str:
+    """NN_DESCENT below 5M rows, IVF_PQ above (CagraIndexParamsFactory.java:151-167)."""
+    return "NN_DESCENT" if n_rows < NN_DESCENT_THRESHOLD else "IVF_PQ"
+
+
+def ivf_pq_params(n_rows: int, dim: int) -> dict:
+    """Derived IVF-PQ parameters (CagraIndexParamsFactory.java:31-93).
+
+    nLists = max(1, rows/2000); nProbes = round(sqrt(nLists)/20 + 4);
+    kmeansTrainsetFraction = clamp(1/sqrt(rows*1e-5)) to (0,1];
+    pqBits = 8 if dim<=32 else 4; pqDim bucketed by dim.
+    """
+    n_lists = max(1, n_rows // 2000)
+    n_probes = int(round(math.sqrt(n_lists) / 20.0 + 4))
+    frac = 1.0 / math.sqrt(n_rows * 1e-5) if n_rows > 0 else 1.0
+    kmeans_trainset_fraction = min(1.0, max(1e-3, frac))
+    pq_bits = 8 if dim <= 32 else 4
+    if dim <= 64:
+        pq_dim = dim
+    elif dim <= 128:
+        pq_dim = dim // 2
+    elif dim <= 512:
+        pq_dim = dim // 4
+    else:
+        pq_dim = dim // 8
+    return {
+        "n_lists": n_lists,
+        "n_probes": n_probes,
+        "kmeans_trainset_fraction": kmeans_trainset_fraction,
+        "pq_bits": pq_bits,
+        "pq_dim": pq_dim,
+    }

@@ -1,0 +1,448 @@
+"""BM25 top-k query path (SURVEY.md §2.4 S1-S10, §2.5 H4-H6, H9).
+
+Spark restatement of the reference's search lifecycle
+(``GPUKnnFloatVectorQuery`` → per-leaf ``CuVS2510GPUVectorsReader.search``
+→ host top-k merge, SURVEY.md §3.2): *query broadcast → per-segment scorer
+over postings + norms (cogrouped pandas UDF) emitting exact per-segment
+top-k partials → global ``orderBy(score desc, ext_id asc).limit(k)``*.
+
+Pre-filter semantics (S10, a correctness requirement): filters and
+tombstones restrict the candidate set BEFORE top-k, inside the scorer —
+never as a post-filter of the top-k result.
+
+Pruning: per-block max-tf metadata gives each block a BM25 impact upper
+bound; the scorer partitions the segment's doc-id space into aligned
+ranges, bounds every range by the sum of per-term max overlapping block
+impacts, visits ranges in descending bound order, and stops once the
+running k-th score beats the next bound (block-max pruning over a bounded
+top-k heap, north_star). Exactness is preserved because a skipped range is
+skipped for ALL query terms at once, so every emitted score is complete.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.config import IndexConfig
+from cuvs_lucene_spark.functions.varint import varint_decode
+from cuvs_lucene_spark.operators.segments import corpus_stats, term_bucket_py
+from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+SCORE_SCHEMA = "segment_id long, ext_id long, score double"
+MATCH_SCHEMA = "segment_id long, ext_id long"
+
+
+def idf(n_docs: int, df: int) -> float:
+    """Lucene BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _decode_block(row) -> tuple[np.ndarray, np.ndarray]:
+    """One posting-block row → (doc_ids ascending, tfs). Block-independent:
+    the first delta in every block is the absolute doc id (skip-friendly)."""
+    docs = np.cumsum(varint_decode(row.doc_deltas), dtype=np.int64)
+    tfs = varint_decode(row.tfs)
+    return docs, tfs
+
+
+def _aux_arrays(aux: pd.DataFrame):
+    """Unpack the cogrouped aux side: packed dls / ext_ids / tombstones / allowed."""
+    dls = ext_ids = None
+    tomb = allowed = None
+    for r in aux.itertuples():
+        if r.kind == "dls":
+            dls = np.frombuffer(r.payload, dtype=np.uint32).astype(np.float64)
+        elif r.kind == "ext_ids":
+            ext_ids = np.frombuffer(r.payload, dtype=np.int64)
+        elif r.kind == "tomb":
+            tomb = np.frombuffer(r.payload, dtype=np.int32)
+        elif r.kind == "allowed":
+            allowed = np.frombuffer(r.payload, dtype=np.int32)
+    return dls, ext_ids, tomb, allowed
+
+
+def _alive_mask(n_docs: int, tomb, allowed) -> np.ndarray:
+    alive = np.ones(n_docs, dtype=bool)
+    if tomb is not None and tomb.size:
+        alive[tomb] = False
+    if allowed is not None:
+        m = np.zeros(n_docs, dtype=bool)
+        m[allowed] = True
+        alive &= m
+    return alive
+
+
+def make_scorer(
+    query_terms: list[str],
+    idf_by_term: dict[str, float],
+    avgdl: float,
+    k: int,
+    cfg: IndexConfig,
+    mode: str = "or",
+):
+    """Build the cogrouped per-segment scoring UDF (S1 analogue)."""
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    R = cfg.prune_range
+    terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
+
+    def score_segment(postings: pd.DataFrame, aux: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"segment_id": pd.Series([], dtype="int64"),
+             "ext_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+        if postings.empty or aux.empty or k <= 0:  # S9 guard
+            return empty
+        seg = int(postings["segment_id"].iloc[0])
+        dls, ext_ids, tomb, allowed = _aux_arrays(aux)
+        if dls is None:
+            return empty
+        n_docs = dls.size
+        alive = _alive_mask(n_docs, tomb, allowed)
+        if not alive.any():
+            return empty
+        norm_denom = k1 * (1.0 - b + b * dls / avgdl)  # per-doc BM25 denominator part
+
+        per_term = {t: postings[postings["term"] == t] for t in terms}
+        present = [t for t in terms if len(per_term[t])]
+        if mode == "and" and len(present) < len(terms):
+            return empty
+        if not present:
+            return empty
+
+        # ---- block impact upper bounds (dl-independent: dl→(1-b) floor) ----
+        ub_of = {}
+        for t in present:
+            mt = per_term[t]["max_tf"].to_numpy(np.float64)
+            ub_of[t] = idf_by_term[t] * (k1 + 1.0) * mt / (mt + k1 * (1.0 - b))
+
+        # ---- range bounds: sum over terms of max overlapping block ub ----
+        n_ranges = (n_docs + R - 1) // R
+        range_ub = np.zeros(n_ranges, dtype=np.float64)
+        spans = {}
+        for t in present:
+            p = per_term[t]
+            r0 = p["first_doc"].to_numpy(np.int64) // R
+            r1 = p["last_doc"].to_numpy(np.int64) // R
+            spans[t] = (r0, r1)
+            tmax = np.zeros(n_ranges, dtype=np.float64)
+            for j in range(len(p)):
+                a, z = r0[j], r1[j]
+                u = ub_of[t][j]
+                if z == a:
+                    if u > tmax[a]:
+                        tmax[a] = u
+                else:
+                    np.maximum(tmax[a : z + 1], u, out=tmax[a : z + 1])
+            range_ub += tmax
+
+        order = np.argsort(-range_ub, kind="stable")
+        cand_docs: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        n_collected = 0
+        kth = -np.inf
+        decoded: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+
+        for r in order:
+            if range_ub[r] <= 0.0:
+                break
+            if n_collected >= k and range_ub[r] < kth:
+                break  # bounded-heap early exit: no doc in r can enter top-k
+            lo, hi = r * R, min((r + 1) * R, n_docs)
+            acc = np.zeros(hi - lo, dtype=np.float64)
+            seen = np.zeros(hi - lo, dtype=bool) if mode == "and" else None
+            nterms_hit = np.zeros(hi - lo, dtype=np.int32) if mode == "and" else None
+            for t in present:
+                p = per_term[t]
+                r0, r1 = spans[t]
+                sel = np.flatnonzero((r0 <= r) & (r1 >= r))
+                if sel.size == 0:
+                    if mode == "and":
+                        acc = None
+                        break
+                    continue
+                t_idf = idf_by_term[t]
+                for j in sel:
+                    key = (t, int(j))
+                    if key not in decoded:
+                        decoded[key] = _decode_block(p.iloc[j])
+                    docs, tfs = decoded[key]
+                    m = (docs >= lo) & (docs < hi)
+                    if not m.any():
+                        continue
+                    d = docs[m] - lo
+                    tf = tfs[m].astype(np.float64)
+                    contrib = t_idf * tf * (k1 + 1.0) / (tf + norm_denom[docs[m]])
+                    acc[d] += contrib
+                    if mode == "and":
+                        nterms_hit[d] += 1
+            if acc is None:
+                continue
+            live = alive[lo:hi]
+            hit = (acc > 0) & live
+            if mode == "and":
+                hit &= nterms_hit == len(present)
+            idxs = np.flatnonzero(hit)
+            if idxs.size == 0:
+                continue
+            cand_docs.append(idxs + lo)
+            cand_scores.append(acc[idxs])
+            n_collected += idxs.size
+            if n_collected >= k:
+                allsc = np.concatenate(cand_scores)
+                kth = np.partition(allsc, allsc.size - k)[allsc.size - k]
+
+        if not cand_docs:
+            return empty
+        docs = np.concatenate(cand_docs)
+        scores = np.concatenate(cand_scores)
+        # per-segment exact top-k with the global tie-break (score desc, ext_id asc)
+        ext = ext_ids[docs]
+        sel = np.lexsort((ext, -scores))[:k]
+        return pd.DataFrame(
+            {"segment_id": np.full(sel.size, seg, dtype=np.int64),
+             "ext_id": ext[sel],
+             "score": scores[sel]}
+        )
+
+    return score_segment
+
+
+# ---------------------------------------------------------------------------
+# Driver-side query entry points
+# ---------------------------------------------------------------------------
+
+
+def _aux_df(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    filter_ext_ids: DataFrame | None,
+) -> DataFrame:
+    """norms + tombstones + allowed-set packed into one cogroup side."""
+    norms = cat.read(spark, "norms")
+    aux = norms.select("segment_id", F.lit("dls").alias("kind"), F.col("dls").alias("payload")).union(
+        norms.select("segment_id", F.lit("ext_ids").alias("kind"), F.col("ext_ids").alias("payload"))
+    )
+    pack = lambda pdf, kind: pd.DataFrame(  # noqa: E731
+        {"segment_id": [int(pdf["segment_id"].iloc[0])],
+         "kind": [kind],
+         "payload": [np.sort(pdf["doc_id"].to_numpy(np.int32)).tobytes()]}
+    )
+    aux_schema = "segment_id long, kind string, payload binary"
+    if cat.exists("tombstones"):
+        tomb = cat.read(spark, "tombstones")
+        if not tomb.isEmpty():
+            dm = cat.read(spark, "doc_map")
+            tseg = dm.join(tomb, "ext_id", "left_semi").select("segment_id", "doc_id")
+            aux = aux.union(
+                tseg.groupBy("segment_id").applyInPandas(lambda p: pack(p, "tomb"), aux_schema)
+            )
+    if filter_ext_ids is not None:
+        dm = cat.read(spark, "doc_map")
+        fseg = dm.join(filter_ext_ids, "ext_id", "left_semi").select("segment_id", "doc_id")
+        aux = aux.union(
+            fseg.groupBy("segment_id").applyInPandas(lambda p: pack(p, "allowed"), aux_schema)
+        )
+    return aux
+
+
+def _query_postings(spark: SparkSession, cat: IndexCatalog, terms: list[str], cfg: IndexConfig) -> DataFrame:
+    """Postings scan for the query terms: term_bucket partition pruning +
+    parquet row-group pruning on the sorted ``term`` column."""
+    buckets = sorted({term_bucket_py(t, cfg.term_buckets) for t in terms})
+    p = cat.read(spark, "postings")
+    return p.filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(list(terms)))
+
+
+def _live_stats_and_df(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    terms: list[str],
+    cfg: IndexConfig,
+    postings: DataFrame,
+    filter_ext_ids: DataFrame | None,
+) -> tuple[int, float, dict[str, int]]:
+    """(N, avgdl, df-per-term) over LIVE docs (tombstone-aware).
+
+    BM25 statistics are defined over non-deleted docs (the engine's contract;
+    Lucene itself leaves stats stale until merge — we are stricter so results
+    equal a rebuild, matching the reference's merge-as-rebuild semantics M2).
+    The pre-filter (S10) does NOT change stats — it restricts candidates only.
+    """
+    has_tomb = cat.exists("tombstones") and not cat.read(spark, "tombstones").isEmpty()
+    if not has_tomb:
+        n, avgdl = corpus_stats(spark, cat)
+        tdf = (
+            cat.read(spark, "terms")
+            .filter(F.col("term").isin(list(terms)))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return n, avgdl, {r["term"]: int(r["df"]) for r in tdf}
+    dm = cat.read(spark, "doc_map")
+    tomb = cat.read(spark, "tombstones")
+    live = dm.join(tomb, "ext_id", "left_anti")
+    row = live.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
+    n = int(row["n"] or 0)
+    avgdl = (int(row["t"] or 0) / n) if n else 0.0
+    # live df per term: decode query-term postings, count live docs
+    live_sets = live.select("segment_id", "doc_id")
+    import pandas as _pd
+
+    def live_df(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        out = []
+        alive_ids = None
+        post = pdf[pdf["side"] == "p"]
+        aliv = pdf[pdf["side"] == "a"]
+        alive_ids = set(aliv["doc_id_live"].dropna().astype(np.int64).tolist())
+        for t, grp in post.groupby("term"):
+            c = 0
+            for r in grp.itertuples():
+                docs = np.cumsum(varint_decode(r.doc_deltas))
+                c += int(np.isin(docs, list(alive_ids)).sum()) if alive_ids else 0
+            out.append((t, c))
+        return _pd.DataFrame(out, columns=["term", "df"])
+
+    pside = postings.select(
+        "segment_id", "term", "doc_deltas", F.lit("p").alias("side"),
+        F.lit(None).cast("long").alias("doc_id_live"),
+    )
+    aside = live_sets.select(
+        "segment_id", F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("binary").alias("doc_deltas"), F.lit("a").alias("side"),
+        F.col("doc_id").cast("long").alias("doc_id_live"),
+    )
+    per_seg = (
+        pside.unionByName(aside)
+        .groupBy("segment_id")
+        .applyInPandas(live_df, "term string, df long")
+    )
+    rows = per_seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    return n, avgdl, {r["term"]: int(r["df"]) for r in rows}
+
+
+def bm25_topk(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    query_terms: list[str],
+    k: int = 10,
+    mode: str = "or",
+    cfg: IndexConfig | None = None,
+    filter_ext_ids: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k over the index → DataFrame(ext_id, score), exact scores,
+    deterministic tie-break (score desc, ext_id asc)."""
+    cfg = cfg or IndexConfig()
+    terms = list(dict.fromkeys(query_terms))
+    if k <= 0 or not terms:
+        return spark.createDataFrame([], "ext_id long, score double")
+    postings = _query_postings(spark, cat, terms, cfg)
+    n, avgdl, df_by_term = _live_stats_and_df(spark, cat, terms, cfg, postings, filter_ext_ids)
+    df_by_term = {t: d for t, d in df_by_term.items() if d > 0}
+    if n == 0 or not df_by_term:
+        return spark.createDataFrame([], "ext_id long, score double")
+    if mode == "and" and len(df_by_term) < len(terms):
+        return spark.createDataFrame([], "ext_id long, score double")
+    idf_by_term = {t: idf(n, d) for t, d in df_by_term.items()}
+    scorer = make_scorer(list(df_by_term), idf_by_term, avgdl, k, cfg, mode)
+    aux = _aux_df(spark, cat, filter_ext_ids)
+    partials = (
+        postings.groupby("segment_id")
+        .cogroup(aux.groupby("segment_id"))
+        .applyInPandas(lambda _k, p, a: scorer(p, a), SCORE_SCHEMA)
+    )
+    return (
+        partials.orderBy(F.desc("score"), F.asc("ext_id"))
+        .limit(k)
+        .select("ext_id", "score")
+    )
+
+
+def term_docs(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    term: str,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """TermQuery (H4): all live ext_ids containing ``term``."""
+    return boolean_and(spark, cat, [term], cfg)
+
+
+def boolean_and(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    terms: list[str],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Boolean AND (H5): posting-list intersection → DataFrame(ext_id).
+
+    Per segment: decode each term's postings (already sorted), zipper-
+    intersect with numpy ``intersect1d`` (sorted-array fast path), skip
+    non-overlapping blocks via first/last_doc metadata.
+    """
+    cfg = cfg or IndexConfig()
+    terms = list(dict.fromkeys(terms))
+    postings = _query_postings(spark, cat, terms, cfg)
+    aux = _aux_df(spark, cat, None)
+    n_terms = len(terms)
+
+    def intersect(p: pd.DataFrame, a: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"segment_id": pd.Series([], dtype="int64"),
+             "ext_id": pd.Series([], dtype="int64")}
+        )
+        if p.empty or a.empty:
+            return empty
+        seg = int(p["segment_id"].iloc[0])
+        dls, ext_ids, tomb, allowed = _aux_arrays(a)
+        if ext_ids is None:
+            return empty
+        present = p.groupby("term", sort=False)
+        if len(present) < n_terms:
+            return empty
+        cur = None
+        # smallest term first (by total n) to keep the running set tiny
+        sizes = p.groupby("term")["n"].sum().sort_values()
+        for t in sizes.index:
+            grp = p[p["term"] == t]
+            if cur is not None and cur.size == 0:
+                return empty
+            if cur is not None:
+                lo, hi = cur.min(), cur.max()
+                grp = grp[(grp["last_doc"] >= lo) & (grp["first_doc"] <= hi)]
+            parts = [
+                np.cumsum(varint_decode(r.doc_deltas), dtype=np.int64)
+                for r in grp.itertuples()
+            ]
+            docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+            cur = docs if cur is None else np.intersect1d(cur, docs, assume_unique=True)
+        if cur is None or cur.size == 0:
+            return empty
+        alive = _alive_mask(dls.size, tomb, allowed)
+        cur = cur[alive[cur]]
+        return pd.DataFrame(
+            {"segment_id": np.full(cur.size, seg, dtype=np.int64), "ext_id": ext_ids[cur]}
+        )
+
+    return (
+        postings.groupby("segment_id")
+        .cogroup(aux.groupby("segment_id"))
+        .applyInPandas(lambda _k, p, a: intersect(p, a), MATCH_SCHEMA)
+        .select("ext_id")
+    )
+
+
+def fetch_stored(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    topk: DataFrame,
+    source_docs: DataFrame,
+    id_col: str = "ext_id",
+) -> DataFrame:
+    """Stored-field fetch (H9): join top-k ids back to the source table.
+    The top-k side is tiny → broadcast it so the source scan stays local."""
+    return source_docs.join(F.broadcast(topk), on=id_col, how="inner")

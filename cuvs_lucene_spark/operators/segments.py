@@ -1,0 +1,309 @@
+"""Segmented inverted-index build (SURVEY.md §2.2 B1-B8, §2.5 H1-H3).
+
+Spark restatement of the reference's flush path
+(``CuVS2510GPUVectorsWriter.flush:279-289`` → ``writeFieldInternal:181-234``):
+*input partition ≙ flush batch; executor task ≙ writer thread;
+parquet snapshot commit ≙ .vemc/.vcag segment files*.
+
+Tables emitted (all committed through :class:`IndexCatalog` snapshots):
+
+- ``doc_map(segment_id, doc_id, ext_id, sha256, dl)`` — segment-local dense
+  docID assignment (ord→doc mapping, reference ``ordToDoc``
+  ``CuVS2510GPUVectorsReader.java:502,516``) + the per-row content sha256
+  invariant required by BASELINE.json ``input_hint``.
+- ``norms(segment_id, n_docs, dls, ext_ids)`` — packed per-segment doc
+  lengths (uint32 LE) and external ids (int64 LE); the Lucene "norms"
+  analogue the scorer reads instead of shuffling doc_map per query.
+- ``postings(segment_id, term, term_bucket, block_id, first_doc, last_doc,
+  n, max_tf, sum_tf, doc_deltas, tfs)`` — sorted doc ids → delta → varint
+  blocks with per-block max-tf metadata (the compression recipe of
+  ``AcceleratedHNSWUtils.writeGraph:239-289`` transplanted onto postings,
+  B14/B15), partitioned by ``term_bucket`` for query-side pruning.
+- ``terms(segment_id, term, df, cf)`` — sorted term dictionary (H3).
+- ``segment_stats(segment_id, n_docs, n_tokens, avgdl)``.
+
+DocID assignment rule (frozen; merge and query depend on it):
+within a segment, docs sorted by ``ext_id`` ascending get ``doc_id`` 0..n-1.
+This is also the index-sort hook (H8/B6): sorting by a key column first
+simply permutes ext_id order upstream.
+"""
+
+from __future__ import annotations
+
+import itertools
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.config import IndexConfig
+from cuvs_lucene_spark.functions.tokenize import doclen_expr, tokenize_py
+from cuvs_lucene_spark.functions.varint import varint_encode
+from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+POSTINGS_SCHEMA = (
+    "segment_id long, term string, term_bucket int, block_id int, "
+    "first_doc int, last_doc int, n int, max_tf int, sum_tf long, "
+    "doc_deltas binary, tfs binary"
+)
+
+NORMS_SCHEMA = "segment_id long, n_docs int, dls binary, ext_ids binary"
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Deterministic term → partition bucket (crc32 — stable across runs)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def assign_segments(docs: DataFrame, cfg: IndexConfig, mode: str = "range") -> DataFrame:
+    """Add ``segment_id``. ``range``: floor(ext_id / rows_per_segment) —
+    contiguous ids per segment (best delta compression) when ext_ids are
+    dense. ``hash``: pmod(xxhash64(ext_id), n_segments) for arbitrary ids.
+    Both are deterministic → resumable (north rule)."""
+    if mode == "range":
+        return docs.withColumn(
+            "segment_id", (F.col("ext_id") / F.lit(cfg.rows_per_segment)).cast("long")
+        )
+    if mode == "hash":
+        n = cfg.n_segments or 32
+        return docs.withColumn("segment_id", F.pmod(F.xxhash64("ext_id"), F.lit(n)))
+    raise ValueError(f"unknown segmenter mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# The per-segment build kernel (pandas UDF body). Everything is numpy batch
+# ops — the only Python-level loop is over posting *blocks* (slicing one
+# pre-encoded buffer), never over rows/tokens (O9, input_hint).
+# ---------------------------------------------------------------------------
+
+
+def _encode_grouped(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
+    """varint-encode ``values`` once, then slice per group by byte offsets."""
+    if values.size == 0:
+        return []
+    buf = memoryview(varint_encode(values))
+    v = values.astype(np.uint64)
+    nb = (
+        1
+        + (v >= 1 << 7).astype(np.int64)
+        + (v >= 1 << 14)
+        + (v >= 1 << 21)
+        + (v >= 1 << 28)
+    )
+    byte_ends = np.cumsum(nb)
+    # byte offset where each group starts/ends
+    g_start_bytes = np.where(group_starts > 0, byte_ends[group_starts - 1], 0)
+    g_end_bytes = np.append(g_start_bytes[1:], byte_ends[-1])
+    return [bytes(buf[a:b]) for a, b in zip(g_start_bytes, g_end_bytes)]
+
+
+def build_postings_pdf(pdf: pd.DataFrame, cfg: IndexConfig) -> pd.DataFrame:
+    """One segment's documents → posting-block rows.
+
+    Mirrors the reference flush (B1/B2): buffer columnar, build the whole
+    field as one dense batch op (``Utils.createFloatMatrix`` analogue =
+    factorize + sort over the full token stream).
+    """
+    seg = int(pdf["segment_id"].iloc[0])
+    pdf = pdf.sort_values("ext_id", kind="mergesort").reset_index(drop=True)
+    n_docs = len(pdf)
+    toks = tokenize_py(pdf["content"])
+    counts = toks.str.len().to_numpy(np.int64)
+    flat = list(itertools.chain.from_iterable(toks))
+    empty = pd.DataFrame(
+        {
+            "segment_id": pd.Series([], dtype="int64"),
+            "term": pd.Series([], dtype="object"),
+            "term_bucket": pd.Series([], dtype="int32"),
+            "block_id": pd.Series([], dtype="int32"),
+            "first_doc": pd.Series([], dtype="int32"),
+            "last_doc": pd.Series([], dtype="int32"),
+            "n": pd.Series([], dtype="int32"),
+            "max_tf": pd.Series([], dtype="int32"),
+            "sum_tf": pd.Series([], dtype="int64"),
+            "doc_deltas": pd.Series([], dtype="object"),
+            "tfs": pd.Series([], dtype="object"),
+        }
+    )
+    if not flat:
+        return empty  # B7: empty-field meta — zero posting rows
+    term_codes, uniq_terms = pd.factorize(pd.array(flat), sort=True)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    # (term, doc) pairs → sorted unique with counts = tf
+    pair_key = term_codes.astype(np.int64) * n_docs + doc_idx
+    pair_key, tf = np.unique(pair_key, return_counts=True)
+    term_of = pair_key // n_docs
+    doc_of = pair_key % n_docs
+    # per-term boundaries in the sorted pair stream
+    term_start_mask = np.empty(pair_key.size, dtype=bool)
+    term_start_mask[0] = True
+    np.not_equal(term_of[1:], term_of[:-1], out=term_start_mask[1:])
+    term_starts = np.flatnonzero(term_start_mask)
+    # rank within term → block id
+    rank = np.arange(pair_key.size, dtype=np.int64)
+    rank -= np.repeat(term_starts, np.diff(np.append(term_starts, pair_key.size)))
+    block_of = rank // cfg.block_size
+    # group = (term, block) boundaries
+    grp_start_mask = term_start_mask | np.concatenate(
+        ([True], block_of[1:] != block_of[:-1])
+    )
+    grp_starts = np.flatnonzero(grp_start_mask)
+    grp_ends = np.append(grp_starts[1:], pair_key.size)
+    grp_sizes = grp_ends - grp_starts
+    # deltas: within each group first value is absolute, rest are diffs
+    deltas = np.empty(pair_key.size, dtype=np.int64)
+    deltas[1:] = doc_of[1:] - doc_of[:-1]
+    deltas[grp_starts] = doc_of[grp_starts]
+    delta_blobs = _encode_grouped(deltas, grp_starts)
+    tf_blobs = _encode_grouped(tf, grp_starts)
+    max_tf = np.maximum.reduceat(tf, grp_starts)
+    sum_tf = np.add.reduceat(tf, grp_starts)
+    g_term = term_of[grp_starts]
+    terms_arr = np.asarray(uniq_terms, dtype=object)
+    g_term_str = terms_arr[g_term]
+    buckets = np.fromiter(
+        (term_bucket_py(t, cfg.term_buckets) for t in terms_arr),
+        dtype=np.int32,
+        count=len(terms_arr),
+    )
+    return pd.DataFrame(
+        {
+            "segment_id": np.full(grp_starts.size, seg, dtype=np.int64),
+            "term": g_term_str,
+            "term_bucket": buckets[g_term],
+            "block_id": block_of[grp_starts].astype(np.int32),
+            "first_doc": doc_of[grp_starts].astype(np.int32),
+            "last_doc": doc_of[grp_ends - 1].astype(np.int32),
+            "n": grp_sizes.astype(np.int32),
+            "max_tf": max_tf.astype(np.int32),
+            "sum_tf": sum_tf.astype(np.int64),
+            "doc_deltas": delta_blobs,
+            "tfs": tf_blobs,
+        }
+    )
+
+
+def build_norms_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One segment's doc_map rows → one packed norms row."""
+    pdf = pdf.sort_values("doc_id", kind="mergesort")
+    return pd.DataFrame(
+        {
+            "segment_id": [int(pdf["segment_id"].iloc[0])],
+            "n_docs": [np.int32(len(pdf))],
+            "dls": [pdf["dl"].to_numpy(np.uint32).tobytes()],
+            "ext_ids": [pdf["ext_id"].to_numpy(np.int64).tobytes()],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-side orchestration
+# ---------------------------------------------------------------------------
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_root: str,
+    cfg: IndexConfig | None = None,
+    content_col: str = "content",
+    id_col: str = "ext_id",
+    segmenter: str = "range",
+    resume: bool = True,
+) -> IndexCatalog:
+    """Build the full inverted index from a documents DataFrame.
+
+    ``docs`` needs an integer id column and a string content column; any
+    other columns are ignored (fetch them back via doc_map joins, H9).
+    Stages are checkpointed in the catalog manifest: a rerun after a crash
+    skips completed stages (north rule resumability).
+    """
+    cfg = cfg or IndexConfig()
+    cat = IndexCatalog(index_root)
+    cat.set_config(
+        {
+            "rows_per_segment": cfg.rows_per_segment,
+            "block_size": cfg.block_size,
+            "term_buckets": cfg.term_buckets,
+            "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
+            "segmenter": segmenter,
+        }
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("ext_id"),
+        F.col(content_col).cast("string").alias("content"),
+    )
+    base = assign_segments(base, cfg, segmenter)
+
+    # -- stage: doc_map (window within segment; the ONE shuffle of the build)
+    if not (resume and cat.stage_done("doc_map")):
+        w = Window.partitionBy("segment_id").orderBy("ext_id")
+        doc_map = base.select(
+            "segment_id",
+            (F.row_number().over(w) - 1).alias("doc_id"),
+            "ext_id",
+            F.sha2(F.col("content"), 256).alias("sha256"),
+            doclen_expr("content").cast("int").alias("dl"),
+        )
+        cat.write(doc_map, "doc_map", partition_by=["segment_id"])
+        cat.mark_stage("doc_map")
+
+    # -- stage: norms (packed per-segment arrays for the scorer)
+    if not (resume and cat.stage_done("norms")):
+        dm = cat.read(spark, "doc_map")
+        norms = dm.groupBy("segment_id").applyInPandas(build_norms_pdf, NORMS_SCHEMA)
+        cat.write(norms, "norms")
+        cat.mark_stage("norms")
+
+    # -- stage: postings (map-side per-segment build; no term shuffle at all:
+    #    hot-term skew cannot bite because work is partitioned by segment)
+    if not (resume and cat.stage_done("postings")):
+        postings = base.groupBy("segment_id").applyInPandas(
+            lambda pdf: build_postings_pdf(pdf, cfg), POSTINGS_SCHEMA
+        )
+        cat.write(
+            postings,
+            "postings",
+            partition_by=["term_bucket"],
+            sort_within_partitions=["term", "segment_id", "block_id"],
+        )
+        cat.mark_stage("postings")
+
+    # -- stage: term dictionary + segment stats (cheap aggregations)
+    if not (resume and cat.stage_done("dictionary")):
+        p = cat.read(spark, "postings")
+        terms = (
+            p.groupBy("segment_id", "term")
+            .agg(F.sum("n").cast("int").alias("df"), F.sum("sum_tf").alias("cf"))
+        )
+        cat.write(terms, "terms", sort_within_partitions=["term"])
+        dm = cat.read(spark, "doc_map")
+        seg_stats = dm.groupBy("segment_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("n_tokens"),
+            F.avg("dl").alias("avgdl"),
+        )
+        cat.write(seg_stats, "segment_stats")
+        # per-partition lineage + metrics into the manifest (small: per segment)
+        lineage = {
+            str(r["segment_id"]): {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+            for r in seg_stats.collect()
+        }
+        cat.mark_stage("dictionary", lineage=lineage)
+
+    cat.mark_stage("build", status="done")
+    return cat
+
+
+def corpus_stats(spark: SparkSession, cat: IndexCatalog) -> tuple[int, float]:
+    """(N, avgdl) over live docs — tiny agg over segment_stats."""
+    row = (
+        cat.read(spark, "segment_stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    t = int(row["t"] or 0)
+    return n, (t / n if n else 0.0)

@@ -1,0 +1,110 @@
+"""ANSI-SQL (DuckDB-runnable) oracle generators.
+
+Every operator the engine claims is paired with an equivalent SQL statement
+over the raw source tables (driver contract: ``__spark_entry__.oracle_sql``).
+The BM25 formula and tokenizer here are THE definition the engine must match
+rank-identically (SURVEY.md §5 transplant: DuckDB oracle, stricter than the
+reference's containment checks).
+"""
+
+from __future__ import annotations
+
+K1 = 1.2
+B = 0.75
+ROUND = 6  # scores rounded to 6 dp on both sides for hash-stable comparison
+
+TOKENS = "regexp_extract_all(lower({col}), '[a-z0-9_]+')"
+
+
+def _terms_in(terms: list[str]) -> str:
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"({quoted})"
+
+
+def bm25_sql(
+    terms: list[str],
+    k: int = 10,
+    mode: str = "or",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    filter_pred: str | None = None,
+    delete_pred: str | None = None,
+) -> str:
+    """BM25 top-k oracle. Stats (N, avgdl, df) over live docs (post-delete);
+    the candidate filter is PRE-semantics (restricts candidates, not stats).
+    Tie-break: score desc, id asc. Scores rounded to 6 dp."""
+    terms = list(dict.fromkeys(terms))
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    havg = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    toks = TOKENS.format(col=text_col)
+    return f"""
+WITH live_docs AS (
+  SELECT {id_col} AS id, {text_col} AS txt,
+         len({toks}) AS dl,
+         ({filter_pred if filter_pred else 'TRUE'}) AS allowed
+  FROM {table} WHERE {live}
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM live_docs
+),
+toks AS (
+  SELECT id, unnest({TOKENS.format(col='txt')}) AS term FROM live_docs
+),
+tf AS (
+  SELECT id, term, count(*) AS tf FROM toks
+  WHERE term IN {_terms_in(terms)} GROUP BY id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scores AS (
+  SELECT tf.id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * live_docs.dl / stats.avgdl))
+            ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN live_docs ON live_docs.id = tf.id
+  CROSS JOIN stats
+  WHERE live_docs.allowed
+  GROUP BY tf.id
+  {havg}
+)
+SELECT id AS {id_col}, round(score, {ROUND}) AS score
+FROM scores
+ORDER BY score DESC, id ASC
+LIMIT {k}
+""".strip()
+
+
+def term_docs_sql(
+    term: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """TermQuery oracle (H4): ids of live docs whose token set contains term."""
+    return boolean_and_sql([term], table, id_col, text_col, delete_pred)
+
+
+def boolean_and_sql(
+    terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """Boolean-AND oracle (H5): docs containing ALL terms."""
+    terms = list(dict.fromkeys(terms))
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    return f"""
+SELECT {id_col}
+FROM {table}
+WHERE {live}
+  AND {" AND ".join(f"list_contains({toks}, '{t}')" for t in terms)}
+ORDER BY {id_col}
+""".strip()

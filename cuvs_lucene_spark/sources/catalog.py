@@ -1,0 +1,125 @@
+"""Parquet-backed index catalog with atomic snapshot commits.
+
+The reference gets segment atomicity from Lucene's commit protocol —
+per-segment files with headers/footers/checksums created by the writer ctor
+and sealed by ``finish()`` (``CuVS2510GPUVectorsWriter.java:121-155,514-529``,
+SURVEY.md I4/I5). Spark-first equivalent: every table write lands in a new
+snapshot directory and becomes visible only when ``manifest.json`` is
+atomically replaced (``os.replace``) to point at it — an Iceberg-style
+snapshot commit without needing the Iceberg runtime jars (not present in
+this image; a real deployment would swap this class for
+``spark.read.format("iceberg")`` with zero changes elsewhere).
+
+The manifest also records per-stage checkpoints and per-partition lineage
+(north rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "manifest.json"
+
+
+class IndexCatalog:
+    """One index root directory holding versioned parquet tables + manifest."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------- manifest
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"tables": {}, "stages": {}, "config": {}, "version": 1}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())  # atomic snapshot swap
+
+    # --------------------------------------------------------------- tables
+    def table_dir(self, table: str) -> str | None:
+        """Resolve the current snapshot directory of a table (None if absent)."""
+        m = self.read_manifest()
+        ent = m["tables"].get(table)
+        if ent is None:
+            return None
+        return os.path.join(self.root, table, ent["snapshot"])
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        sort_within_partitions: list[str] | None = None,
+        lineage: dict[str, Any] | None = None,
+    ) -> str:
+        """Write ``df`` as a NEW snapshot of ``table`` and commit atomically."""
+        m = self.read_manifest()
+        prev = m["tables"].get(table)
+        snap_n = (prev["n"] + 1) if prev else 1
+        snap = f"snap-{snap_n:06d}"
+        out = os.path.join(self.root, table, snap)
+        w = df
+        if sort_within_partitions:
+            w = w.sortWithinPartitions(*sort_within_partitions)
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+        hist = (prev.get("history", []) if prev else [])
+        if prev:
+            hist = hist + [prev["snapshot"]]
+        m["tables"][table] = {
+            "snapshot": snap,
+            "n": snap_n,
+            "history": hist[-5:],
+            "committed_at": time.time(),
+            "lineage": lineage or {},
+        }
+        self._write_manifest(m)
+        # prune snapshots that fell off the retained history
+        keep = set(hist[-5:]) | {snap}
+        tdir = os.path.join(self.root, table)
+        for d in os.listdir(tdir):
+            if d.startswith("snap-") and d not in keep:
+                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        return out
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        d = self.table_dir(table)
+        if d is None:
+            raise FileNotFoundError(f"table {table!r} not committed in {self.root}")
+        return spark.read.parquet(d)
+
+    def exists(self, table: str) -> bool:
+        return self.table_dir(table) is not None
+
+    # --------------------------------------------------------- stage resume
+    def stage_done(self, stage: str) -> bool:
+        return self.read_manifest()["stages"].get(stage, {}).get("status") == "done"
+
+    def mark_stage(self, stage: str, status: str = "done", **metrics: Any) -> None:
+        m = self.read_manifest()
+        m["stages"][stage] = {"status": status, "at": time.time(), **metrics}
+        self._write_manifest(m)
+
+    def set_config(self, cfg: dict) -> None:
+        m = self.read_manifest()
+        m["config"] = cfg
+        self._write_manifest(m)

@@ -1,0 +1,143 @@
+"""End-to-end: build index over the testdata corpus, query BM25 top-k,
+assert RANK-IDENTICAL docIDs and scores vs the DuckDB oracle (north rule;
+stricter than the reference's containment checks, SURVEY.md §5.2)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.config import IndexConfig
+from cuvs_lucene_spark.operators.bm25 import bm25_topk, boolean_and, fetch_stored, term_docs
+from cuvs_lucene_spark.operators.segments import build_index, corpus_stats
+from cuvs_lucene_spark.oracle import bm25_sql, boolean_and_sql, term_docs_sql
+
+from tests.conftest import SF_DIR
+
+CFG = IndexConfig(rows_per_segment=64, block_size=16, prune_range=64, term_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def cat(spark, tmp_path_factory):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    root = str(tmp_path_factory.mktemp("idx"))
+    return build_index(
+        spark, docs, root, CFG, content_col="text", id_col="doc_id"
+    )
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return con.sql(sql).fetchall()
+
+
+def _engine_topk(spark, cat, terms, k=10, mode="or", filter_ext_ids=None):
+    df = bm25_topk(spark, cat, terms, k=k, mode=mode, cfg=CFG, filter_ext_ids=filter_ext_ids)
+    return [
+        (r["ext_id"], round(r["score"], 6))
+        for r in df.select("ext_id", F.col("score")).collect()
+    ]
+
+
+QUERIES = [
+    (["join"], "or"),                 # hot single term
+    (["join", "vector"], "or"),       # two hot terms
+    (["spark", "customer", "dup"], "or"),
+    (["join", "vector"], "and"),
+    (["dup", "slow"], "and"),
+    (["zzz_not_in_corpus"], "or"),    # 0-hit
+    (["join", "zzz_not_in_corpus"], "or"),
+]
+
+
+@pytest.mark.parametrize("terms,mode", QUERIES)
+def test_bm25_rank_identical(spark, cat, terms, mode):
+    got = _engine_topk(spark, cat, terms, k=10, mode=mode)
+    exp = _duck(bm25_sql(terms, k=10, mode=mode))
+    exp = [(i, round(s, 6)) for i, s in exp]
+    assert got == exp
+
+
+def test_bm25_k_boundaries(spark, cat):
+    assert _engine_topk(spark, cat, ["join"], k=0) == []
+    got1 = _engine_topk(spark, cat, ["join"], k=1)
+    exp1 = [(i, round(s, 6)) for i, s in _duck(bm25_sql(["join"], k=1))]
+    assert got1 == exp1
+    # k larger than number of matches
+    got_all = _engine_topk(spark, cat, ["join"], k=10_000)
+    exp_all = [(i, round(s, 6)) for i, s in _duck(bm25_sql(["join"], k=10_000))]
+    assert got_all == exp_all
+
+
+def test_term_query(spark, cat):
+    got = sorted(r["ext_id"] for r in term_docs(spark, cat, "dup", CFG).collect())
+    exp = [r[0] for r in _duck(term_docs_sql("dup"))]
+    assert got == exp
+
+
+def test_boolean_and(spark, cat):
+    got = sorted(r["ext_id"] for r in boolean_and(spark, cat, ["dup", "slow"], CFG).collect())
+    exp = [r[0] for r in _duck(boolean_and_sql(["dup", "slow"]))]
+    assert got == exp
+
+
+def test_prefilter_semantics(spark, cat):
+    """Filter restricts candidates BEFORE top-k (S10): every result satisfies
+    the filter and equals the oracle computed with the same pre-filter."""
+    allowed = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("ext_id"))
+    )
+    got = _engine_topk(spark, cat, ["join"], k=10, filter_ext_ids=allowed)
+    exp = [(i, round(s, 6)) for i, s in _duck(bm25_sql(["join"], k=10, filter_pred="lang = 'en'"))]
+    assert got == exp
+    allowed_ids = {r["ext_id"] for r in allowed.collect()}
+    assert all(i in allowed_ids for i, _ in got)
+
+
+def test_stored_field_fetch(spark, cat):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumnRenamed(
+        "doc_id", "ext_id"
+    )
+    topk = bm25_topk(spark, cat, ["join"], k=5, cfg=CFG)
+    out = fetch_stored(spark, cat, topk, docs).collect()
+    assert len(out) == 5
+    assert all(r["text"] is not None and r["score"] > 0 for r in out)
+
+
+def test_corpus_stats_match_oracle(spark, cat):
+    n, avgdl = corpus_stats(spark, cat)
+    (exp_n, exp_avgdl) = _duck(
+        "SELECT count(*), sum(len(regexp_extract_all(lower(text),'[a-z0-9_]+')))*1.0/count(*) FROM documents"
+    )[0]
+    assert n == exp_n
+    assert abs(avgdl - exp_avgdl) < 1e-9
+
+
+def test_sha256_invariant(spark, cat):
+    """Per-row content sha256 equality vs the source table (input_hint)."""
+    dm = cat.read(spark, "doc_map").select("ext_id", "sha256")
+    src = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.col("doc_id").alias("ext_id"), F.sha2("text", 256).alias("src_sha"))
+    )
+    bad = dm.join(src, "ext_id").filter(F.col("sha256") != F.col("src_sha")).count()
+    assert bad == 0
+    assert dm.count() == src.count()
+
+
+def test_pruning_equals_exhaustive(spark, cat):
+    """Block-max range pruning must be exact: tiny prune_range (aggressive
+    pruning) vs huge prune_range (no pruning) give identical results."""
+    import dataclasses
+
+    cfg_noprune = dataclasses.replace(CFG, prune_range=1 << 30)
+    a = _engine_topk(spark, cat, ["join", "vector", "dup"], k=10)
+    b = [
+        (r["ext_id"], round(r["score"], 6))
+        for r in bm25_topk(spark, cat, ["join", "vector", "dup"], k=10, cfg=cfg_noprune).collect()
+    ]
+    assert a == b
