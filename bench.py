@@ -1,0 +1,169 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline numbers (BASELINE.json metric):
+- index-build throughput (files/sec) over the sf documents table AND over
+  a larger deterministic synthetic code corpus (input_hint schema)
+- BM25 top-10 QPS over a mixed frozen query set (hot / multi / AND /
+  filtered / after-delete)
+- ANN exact + IVF top-k latency
+- dedup/text-analysis pipeline ops
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_SYNTH_DOCS (default 20000) synthetic build-bench corpus size.
+Run tools/scaling.py for the N-vs-4N parallelism study (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "20000"))
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cuvs_lucene_spark.config import IndexConfig
+    from cuvs_lucene_spark.fixtures import generate_documents_pdf
+    from cuvs_lucene_spark.operators.ann import ann_topk, build_ann
+    from cuvs_lucene_spark.operators.bm25 import bm25_topk
+    from cuvs_lucene_spark.operators.dedup import minhash_lsh_candidates, simhash
+    from cuvs_lucene_spark.operators.deletes import delete_by_term
+    from cuvs_lucene_spark.operators.merge import merge_segments
+    from cuvs_lucene_spark.operators.segments import build_index
+    from cuvs_lucene_spark.functions.textstats import quality_score
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("cuvs_lucene_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="bench_idx_")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    cfg = IndexConfig(
+        rows_per_segment=max(256, n_docs // CPUS),
+        block_size=128,
+        prune_range=1024,
+        term_buckets=32,
+    )
+
+    # --- index build over the sf corpus ---
+    cat = timed(
+        "build_index",
+        lambda: build_index(
+            spark, docs, f"{tmp}/sf", cfg, content_col="text", id_col="doc_id", resume=False
+        ),
+    )
+    extras["build_files_per_sec"] = round(n_docs / timings["build_index"], 1)
+
+    # --- synthetic code corpus build (input_hint schema, hot-term skew) ---
+    pdf = generate_documents_pdf(SYNTH_DOCS)
+    sdocs = spark.createDataFrame(pdf).repartition(CPUS).cache()
+    sdocs.count()
+    scfg = IndexConfig(
+        rows_per_segment=max(512, SYNTH_DOCS // CPUS), block_size=128, term_buckets=32
+    )
+    timed(
+        "build_index_synth",
+        lambda: build_index(
+            spark, sdocs, f"{tmp}/synth", scfg, content_col="content", id_col="ext_id", resume=False
+        ),
+    )
+    extras["synth_files_per_sec"] = round(SYNTH_DOCS / timings["build_index_synth"], 1)
+
+    # --- BM25 query workload ---
+    qset = [
+        ("q_hot", ["join"], "or", None),
+        ("q_or2", ["join", "vector"], "or", None),
+        ("q_or3", ["spark", "customer", "dup"], "or", None),
+        ("q_and", ["dup", "slow"], "and", None),
+        ("q_filter", ["join", "vector"], "or", "en"),
+    ]
+    t0 = time.time()
+    for name, terms, mode, flt in qset:
+        fdf = None
+        if flt:
+            fdf = docs.filter(F.col("lang") == flt).select(F.col("doc_id").alias("ext_id"))
+        timed(
+            name,
+            lambda terms=terms, mode=mode, fdf=fdf: bm25_topk(
+                spark, cat, terms, k=10, mode=mode, cfg=cfg, filter_ext_ids=fdf
+            ).collect(),
+        )
+    extras["bm25_qps"] = round(len(qset) / (time.time() - t0), 3)
+
+    # --- delete + partial merge ---
+    timed("delete_by_term", lambda: delete_by_term(spark, cat, "dup", cfg))
+    timed("merge_segments", lambda: merge_segments(spark, cat, cfg))
+    timed("q_after_merge", lambda: bm25_topk(spark, cat, ["join", "vector"], k=10, cfg=cfg).collect())
+
+    # --- ANN sidecar ---
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q0 = [float(v) for v in embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    acat = timed(
+        "ann_build",
+        lambda: build_ann(
+            spark, embs, f"{tmp}/ann", cfg, id_col="vec_id", vector_col="embedding",
+            rows_per_segment=1000,
+        ),
+    )
+    timed("ann_exact", lambda: ann_topk(spark, acat, q0, k=10, cfg=cfg, mode="exact").collect())
+    timed("ann_ivf", lambda: ann_topk(spark, acat, q0, k=10, cfg=cfg, mode="ivf").collect())
+
+    # --- pipeline ops ---
+    timed("minhash_lsh", lambda: minhash_lsh_candidates(docs, n_perm=8, bands=2).count())
+    timed("simhash", lambda: simhash(docs).count())
+    timed("quality", lambda: quality_score(docs).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "index-build files/sec + BM25 top-10 QPS (rank-identical engine), end-to-end op timings",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extras,
+                "cpus": CPUS,
+                "n_docs": n_docs,
+                "synth_docs": SYNTH_DOCS,
+            }
+        )
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,309 @@
+"""Hierarchical segment merge with salted two-stage posting merge
+(SURVEY.md §2.3 M1-M6, §3.3).
+
+Reference semantics: merge = delete-filtered concatenation of input
+segments' rows, docIDs remapped, index fully rebuilt
+(``CuVS2510GPUVectorsWriter.vectorBasedMerge:479-488`` — M2). A native
+index-merge path exists but is intentionally unused (M3). Our
+implementation merges *sorted posting streams* instead of re-tokenizing
+(the optimization M3 gestures at), but its observable semantics are
+property-tested equal to a fresh rebuild (tests/test_merge.py), exactly
+what ``TestMerge`` asserts of the reference.
+
+Scale design:
+- Hot-term skew (``def``/``import``-class tokens at 10^12 files) is the
+  one brutal shuffle: posting rows for a term concentrate on one reducer.
+  Defused with a deterministic salted two-stage merge (north rule):
+  stage 1 groups by (group, term, salt=segment_id % S) — each salt bucket
+  merges a disjoint subset of segments into one partial run; stage 2
+  k-way-merges ≤S partial runs per (group, term). Salt is derived from
+  segment_id, so a re-run is bit-identical (resumability).
+- Merge reads only postings + norms blobs, never query-side structures
+  (M4: the reference skips GPU index loading under Context.MERGE).
+- Tombstoned docs drop out during remap (M5) and their tombstones are
+  cleared; new doc order is ext_id ascending across the group (M6 index-
+  sorted merge — same frozen rule as the initial build).
+- Table rewrites commit through catalog snapshots: a crash mid-merge
+  leaves the previous snapshot visible (atomic swap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.config import IndexConfig
+from cuvs_lucene_spark.functions.varint import varint_decode, varint_encode
+from cuvs_lucene_spark.operators.segments import (
+    NORMS_SCHEMA,
+    POSTINGS_SCHEMA,
+    build_norms_pdf,
+)
+from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+PARTIAL_SCHEMA = (
+    "gkey long, term string, term_bucket int, salt int, "
+    "doc_deltas binary, tfs binary, n int, max_tf int, sum_tf long"
+)
+MAPPING_SCHEMA = "gkey long, salt int, old_segment long, old_docs binary, new_docs binary"
+
+
+def _decode_run(doc_deltas: bytes, tfs: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return (
+        np.cumsum(varint_decode(doc_deltas), dtype=np.int64),
+        varint_decode(tfs),
+    )
+
+
+def _encode_run(docs: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    deltas = np.empty(docs.size, dtype=np.int64)
+    if docs.size:
+        deltas[0] = docs[0]
+        np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+    return varint_encode(deltas), varint_encode(tfs)
+
+
+def _merge_runs(runs: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+    """k-way merge of sorted (docs, tfs) runs with disjoint doc ids."""
+    docs = np.concatenate([r[0] for r in runs])
+    tfs = np.concatenate([r[1] for r in runs])
+    order = np.argsort(docs, kind="mergesort")
+    return docs[order], tfs[order]
+
+
+def _stage1_fn(salt_factor: int):
+    """(gkey, salt) cogroup: postings rows + mapping blobs → one partial
+    remapped sorted run per term."""
+
+    def fn(key, postings: pd.DataFrame, mapping: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "gkey": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "term_bucket": pd.Series([], dtype="int32"),
+                "salt": pd.Series([], dtype="int32"),
+                "doc_deltas": pd.Series([], dtype="object"),
+                "tfs": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int32"),
+                "max_tf": pd.Series([], dtype="int32"),
+                "sum_tf": pd.Series([], dtype="int64"),
+            }
+        )
+        if postings.empty or mapping.empty:
+            return empty
+        gkey, salt = int(key[0]), int(key[1])
+        remap = {
+            int(r.old_segment): (
+                np.frombuffer(r.old_docs, dtype=np.int32).astype(np.int64),
+                np.frombuffer(r.new_docs, dtype=np.int64),
+            )
+            for r in mapping.itertuples()
+        }
+        out = []
+        postings = postings.sort_values(["term", "segment_id", "block_id"])
+        for (term, bucket), grp in postings.groupby(["term", "term_bucket"], sort=False):
+            runs = []
+            for seg, sgrp in grp.groupby("segment_id", sort=True):
+                if seg not in remap:
+                    continue  # fully-deleted segment
+                old_docs, new_docs = remap[seg]
+                docs = np.concatenate(
+                    [np.cumsum(varint_decode(r.doc_deltas), dtype=np.int64) for r in sgrp.itertuples()]
+                )
+                tfs = np.concatenate([varint_decode(r.tfs) for r in sgrp.itertuples()])
+                idx = np.searchsorted(old_docs, docs)
+                idx = np.minimum(idx, old_docs.size - 1) if old_docs.size else idx
+                live = old_docs.size > 0
+                mask = (old_docs[idx] == docs) if live else np.zeros(docs.size, bool)
+                if not mask.any():
+                    continue
+                # remapped ids are ascending (doc order within a segment is
+                # ext_id order, preserved by the group-wide ext_id sort)
+                runs.append((new_docs[idx[mask]], tfs[mask]))
+            if not runs:
+                continue
+            docs, tfs = _merge_runs(runs)
+            dd, tt = _encode_run(docs, tfs)
+            out.append(
+                (gkey, term, int(bucket), salt, dd, tt, docs.size, int(tfs.max()), int(tfs.sum()))
+            )
+        if not out:
+            return empty
+        return pd.DataFrame(
+            out,
+            columns=[
+                "gkey", "term", "term_bucket", "salt",
+                "doc_deltas", "tfs", "n", "max_tf", "sum_tf",
+            ],
+        )
+
+    return fn
+
+
+def _stage2_fn(newseg_by_gkey: dict[int, int], block_size: int):
+    """(gkey, term) group of ≤S partial runs → final posting blocks."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gkey = int(pdf["gkey"].iloc[0])
+        seg = newseg_by_gkey[gkey]
+        rows = []
+        for (term, bucket), grp in pdf.groupby(["term", "term_bucket"], sort=True):
+            runs = [_decode_run(r.doc_deltas, r.tfs) for r in grp.itertuples()]
+            docs, tfs = _merge_runs(runs)
+            for b0 in range(0, docs.size, block_size):
+                d = docs[b0 : b0 + block_size]
+                t = tfs[b0 : b0 + block_size]
+                dd, tt = _encode_run(d, t)
+                rows.append(
+                    (
+                        seg, term, int(bucket), b0 // block_size,
+                        int(d[0]), int(d[-1]), d.size, int(t.max()), int(t.sum()),
+                        dd, tt,
+                    )
+                )
+        cols = [
+            "segment_id", "term", "term_bucket", "block_id",
+            "first_doc", "last_doc", "n", "max_tf", "sum_tf",
+            "doc_deltas", "tfs",
+        ]
+        if not rows:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def _mapping_pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("old_doc_id")
+    return pd.DataFrame(
+        {
+            "gkey": [int(pdf["gkey"].iloc[0])],
+            "salt": [int(pdf["salt"].iloc[0])],
+            "old_segment": [int(pdf["old_segment"].iloc[0])],
+            "old_docs": [pdf["old_doc_id"].to_numpy(np.int32).tobytes()],
+            "new_docs": [pdf["new_doc_id"].to_numpy(np.int64).tobytes()],
+        }
+    )
+
+
+def merge_segments(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg: IndexConfig | None = None,
+    groups: list[list[int]] | None = None,
+) -> dict[int, int]:
+    """Merge segment groups into single segments. Default grouping: all
+    current segments in chunks of ``cfg.merge_fanin`` (call repeatedly for
+    a hierarchical merge down to one segment). Returns {gkey: new_segment_id}.
+    """
+    cfg = cfg or IndexConfig()
+    seg_ids = sorted(
+        r["segment_id"] for r in cat.read(spark, "segment_stats").select("segment_id").collect()
+    )
+    if groups is None:
+        groups = [
+            seg_ids[i : i + cfg.merge_fanin] for i in range(0, len(seg_ids), cfg.merge_fanin)
+        ]
+    groups = [g for g in groups if len(g) >= 1]
+    if not groups:
+        return {}
+    gkey_of = {int(s): gi for gi, g in enumerate(groups) for s in g}
+    newseg = {gi: int(min(g)) for gi, g in enumerate(groups)}
+    merged_segs = sorted(gkey_of)
+    salt = cfg.salt_factor
+
+    gmap = spark.createDataFrame(
+        [(int(s), int(gi), int(s) % salt) for s, gi in gkey_of.items()],
+        "segment_id long, gkey long, salt int",
+    )
+
+    # --- new doc order: live docs of merged segments, ext_id asc per group
+    dm = cat.read(spark, "doc_map")
+    tomb = cat.read(spark, "tombstones") if cat.exists("tombstones") else None
+    live = dm.join(F.broadcast(gmap), "segment_id")
+    if tomb is not None:
+        live = live.join(tomb, "ext_id", "left_anti")
+    w = Window.partitionBy("gkey").orderBy("ext_id")
+    ndm = live.select(
+        "gkey",
+        "salt",
+        F.col("segment_id").alias("old_segment"),
+        F.col("doc_id").alias("old_doc_id"),
+        (F.row_number().over(w) - 1).alias("new_doc_id"),
+        "ext_id",
+        "sha256",
+        "dl",
+    ).cache()
+
+    mapping = ndm.groupBy("gkey", "old_segment").applyInPandas(_mapping_pack, MAPPING_SCHEMA)
+
+    # --- stage 1: salted partial merge (cogroup postings with mapping blobs)
+    postings = cat.read(spark, "postings")
+    p_merged = postings.join(F.broadcast(gmap), "segment_id")
+    partials = (
+        p_merged.groupby("gkey", "salt")
+        .cogroup(mapping.groupby("gkey", "salt"))
+        .applyInPandas(_stage1_fn(salt), PARTIAL_SCHEMA)
+    )
+
+    # --- stage 2: final per-term merge + re-blocking
+    new_postings = partials.groupby("gkey").applyInPandas(
+        _stage2_fn(newseg, cfg.block_size), POSTINGS_SCHEMA
+    )
+
+    # --- rewrite tables via snapshot commits
+    keep_postings = postings.filter(~F.col("segment_id").isin(merged_segs))
+    cat.write(
+        keep_postings.unionByName(new_postings),
+        "postings",
+        partition_by=["term_bucket"],
+        sort_within_partitions=["term", "segment_id", "block_id"],
+    )
+
+    newseg_df = spark.createDataFrame(
+        [(int(g), int(s)) for g, s in newseg.items()], "gkey long, segment_id long"
+    )
+    new_docmap = (
+        ndm.join(F.broadcast(newseg_df), "gkey")
+        .select("segment_id", F.col("new_doc_id").alias("doc_id"), "ext_id", "sha256", "dl")
+    )
+    keep_docmap = dm.filter(~F.col("segment_id").isin(merged_segs))
+    cat.write(keep_docmap.unionByName(new_docmap), "doc_map", partition_by=["segment_id"])
+
+    dm2 = cat.read(spark, "doc_map")
+    norms = dm2.groupBy("segment_id").applyInPandas(build_norms_pdf, NORMS_SCHEMA)
+    cat.write(norms, "norms")
+
+    p2 = cat.read(spark, "postings")
+    terms = p2.groupBy("segment_id", "term").agg(
+        F.sum("n").cast("int").alias("df"), F.sum("sum_tf").alias("cf")
+    )
+    cat.write(terms, "terms", sort_within_partitions=["term"])
+    seg_stats = dm2.groupBy("segment_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("n_tokens"),
+        F.avg("dl").alias("avgdl"),
+    )
+    cat.write(seg_stats, "segment_stats")
+
+    # tombstones referencing physically-dropped docs are cleared (M5)
+    if tomb is not None:
+        remaining = tomb.join(dm2, "ext_id", "left_semi")
+        cat.write(remaining, "tombstones")
+
+    lineage = {str(newseg[g]): {"merged_from": [int(s) for s in grp]} for g, grp in enumerate(groups)}
+    cat.mark_stage(f"merge_{len(seg_ids)}to{len(groups)}", lineage=lineage)
+    ndm.unpersist()
+    return newseg
+
+
+def force_merge(spark: SparkSession, cat: IndexCatalog, cfg: IndexConfig | None = None) -> None:
+    """``forceMerge(1)`` analogue: hierarchical merge until one segment."""
+    cfg = cfg or IndexConfig()
+    while True:
+        n = cat.read(spark, "segment_stats").count()
+        if n <= 1:
+            return
+        merge_segments(spark, cat, cfg)
