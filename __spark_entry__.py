@@ -150,6 +150,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d).withColumnRenamed("doc_id", "ext_id"),
     ).select(F.col("ext_id").alias("doc_id"), "lang", "source", "score")
 
+    q["bm25_batch"] = lambda s, d: (
+        __import__("cuvs_lucene_spark.operators.bm25", fromlist=["bm25_topk_batch"])
+        .bm25_topk_batch(
+            s, _index(s, d),
+            {"b0": {"terms": Q_OR, "mode": "or", "k": 5},
+             "b1": {"terms": Q_MULTI, "mode": "or", "k": 5},
+             "b2": {"terms": Q_AND, "mode": "and", "k": 5}},
+            CFG,
+        )
+        .select("query_id", F.col("ext_id").alias("doc_id"),
+                F.round("score", 6).alias("score"), "rank")
+    )
+
     # ---- ANN sidecar ----
     q["ann_exact_cosine"] = lambda s, d: exact_knn_expr(
         _embs(s, d), _qvec(s, d, 0), 10
@@ -161,6 +174,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_l2"] = lambda s, d: ann_topk(
         s, _ann_index(s, d), _qvec(s, d, 7), k=10, metric="l2", cfg=CFG, mode="ivf"
     ).select(F.col("ext_id").alias("vec_id"), F.round("score", 6).alias("score"))
+    q["knn_join"] = lambda s, d: __import__(
+        "cuvs_lucene_spark.operators.ann", fromlist=["knn_join"]
+    ).knn_join(
+        _embs(s, d).filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        ),
+        _embs(s, d),
+        k=3,
+    )
+    # binary-quantized hamming path — approximate (rows-only check)
+    q["ann_bq_hamming"] = lambda s, d: __import__(
+        "cuvs_lucene_spark.operators.ann", fromlist=["ann_topk_bq"]
+    ).ann_topk_bq(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG).select(
+        F.col("ext_id").alias("vec_id"), "hamming"
+    )
 
     # ---- dedup / similarity ----
     q["dedup_exact"] = lambda s, d: dd.exact_dedup(_docs(s, d)).select(
@@ -244,6 +272,35 @@ def oracle_sql() -> dict[str, str]:
 WITH topk AS ({bm25_sql(Q_OR, k=5)})
 SELECT d.doc_id, d.lang, d.source, topk.score
 FROM documents d JOIN topk USING (doc_id)
+""".strip()
+
+    batch_parts = []
+    for qid, (terms, mode) in {
+        "b0": (Q_OR, "or"), "b1": (Q_MULTI, "or"), "b2": (Q_AND, "and")
+    }.items():
+        inner = bm25_sql(terms, k=5, mode=mode)
+        batch_parts.append(
+            f"SELECT '{qid}' AS query_id, doc_id, score,\n"
+            f"  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank\n"
+            f"FROM ({inner})"
+        )
+    o["bm25_batch"] = "\nUNION ALL\n".join(batch_parts)
+
+    o["knn_join"] = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(cos, 6) AS score, rank FROM ranked WHERE rank <= 3
 """.strip()
 
     o["ann_exact_cosine"] = f"""

@@ -50,6 +50,7 @@ def main():
         .appName("cuvs_lucene_spark_bench")
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
@@ -66,6 +67,13 @@ def main():
         out = fn()
         timings[name] = round(time.time() - t0, 3)
         return out
+
+    # warm up the JVM/codegen so measured ops reflect steady state (at
+    # cluster scale, session startup amortizes to zero)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([("x",)], "s string").selectExpr(
+        "sha2(s, 256)", "regexp_extract_all(s, '[a-z]+', 0)"
+    ).collect()
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
@@ -120,6 +128,22 @@ def main():
             ).collect(),
         )
     extras["bm25_qps"] = round(len(qset) / (time.time() - t0), 3)
+
+    # --- batched query throughput (one Spark job for the whole batch) ---
+    from cuvs_lucene_spark.operators.bm25 import bm25_topk_batch
+
+    vocab = [
+        "join", "vector", "spark", "customer", "dup", "slow", "scan", "hash",
+        "row", "batch", "filter", "merge", "order", "line", "data", "window",
+    ]
+    batch = {
+        f"q{i}": {"terms": [vocab[i % len(vocab)], vocab[(i * 7 + 3) % len(vocab)]],
+                  "mode": "and" if i % 5 == 4 else "or", "k": 10}
+        for i in range(64)
+    }
+    nres = timed("bm25_batch64", lambda: bm25_topk_batch(spark, cat, batch, cfg).count())
+    extras["bm25_batch_qps"] = round(len(batch) / timings["bm25_batch64"], 2)
+    extras["bm25_batch_rows"] = nres
 
     # --- delete + partial merge ---
     timed("delete_by_term", lambda: delete_by_term(spark, cat, "dup", cfg))

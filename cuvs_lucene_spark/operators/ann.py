@@ -36,6 +36,7 @@ from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
 FLAT_SCHEMA = "segment_id long, n_vecs int, dim int, ext_ids binary, vectors binary"
 SQ_SCHEMA = "segment_id long, n_vecs int, dim int, mins binary, maxs binary, codes binary"
+BQ_SCHEMA = "segment_id long, n_vecs int, dim int, centroid binary, codes binary"
 IVF_SCHEMA = (
     "segment_id long, list_id int, n int, ext_ids binary, vectors binary"
 )
@@ -137,6 +138,28 @@ def build_ann(
 
     cat.write(flat_df.mapInPandas(build_sq, SQ_SCHEMA), "ann_sq")
     cat.mark_stage("ann_sq")
+
+    def build_bq(it):
+        # binary-quantized variant (B9): mean-centroid sign bits packed
+        # 8/byte — the LuceneAcceleratedHNSWBinaryQuantized analogue
+        from cuvs_lucene_spark.functions.quantize import binary_quantize
+
+        for pdf in it:
+            for r in pdf.itertuples():
+                x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                packed, centroid = binary_quantize(x)
+                yield pd.DataFrame(
+                    {
+                        "segment_id": [r.segment_id],
+                        "n_vecs": [r.n_vecs],
+                        "dim": [r.dim],
+                        "centroid": [centroid.astype(np.float32).tobytes()],
+                        "codes": [packed.tobytes()],
+                    }
+                )
+
+    cat.write(flat_df.mapInPandas(build_bq, BQ_SCHEMA), "ann_bq")
+    cat.mark_stage("ann_bq")
 
     seed = ann.seed
     kmeans_iters = ann.kmeans_iters
@@ -309,6 +332,132 @@ def ann_topk(
         partials.orderBy(F.desc("score"), F.asc("ext_id"))
         .limit(k)
         .select("ext_id", "score")
+    )
+
+
+def ann_topk_bq(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Top-k over binary-quantized codes by Hamming distance (the
+    coarse/compressed search path of the BQ format). Approximate —
+    validated by containment against the exact oracle, like the
+    reference's quantized-format tests (TestQuantizedVectorsFormats)."""
+    cfg = cfg or IndexConfig()
+    q = np.asarray(query, dtype=np.float32)
+    if k <= 0:
+        return spark.createDataFrame([], "ext_id long, hamming int")
+    bq = cat.read(spark, "ann_bq")
+    flat = cat.read(spark, "ann_flat").select("segment_id", "ext_ids")
+    from pyspark.sql import functions as F2
+
+    def scan(key, bqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"segment_id": [], "ext_id": [], "hamming": []}).astype(
+            {"segment_id": "int64", "ext_id": "int64", "hamming": "int32"}
+        )
+        if bqp.empty or fp.empty:
+            return empty
+        r = bqp.iloc[0]
+        codes = np.frombuffer(r["codes"], np.uint8).reshape(r["n_vecs"], -1)
+        centroid = np.frombuffer(r["centroid"], np.float32)
+        ids = np.frombuffer(fp.iloc[0]["ext_ids"], np.int64)
+        qbits = np.packbits(q > centroid)
+        ham = np.unpackbits(codes ^ qbits[None, :], axis=1).sum(1)
+        top = np.lexsort((ids, ham))[:k]
+        return pd.DataFrame(
+            {"segment_id": int(r["segment_id"]), "ext_id": ids[top],
+             "hamming": ham[top].astype(np.int32)}
+        )
+
+    partials = (
+        bq.groupby("segment_id")
+        .cogroup(flat.groupby("segment_id"))
+        .applyInPandas(scan, "segment_id long, ext_id long, hamming int")
+    )
+    return (
+        partials.orderBy(F2.asc("hamming"), F2.asc("ext_id"))
+        .limit(k)
+        .select("ext_id", "hamming")
+    )
+
+
+def merge_ann(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg: IndexConfig | None = None,
+    tombstone_ext_ids: set[int] | None = None,
+) -> None:
+    """Merge all ANN segments into one: read the flat vector storage
+    (never the derived indexes — M4), drop tombstoned ids (M5), rebuild
+    every derived structure from the merged raw vectors — exactly the
+    reference's merge-as-rebuild (``vectorBasedMerge``, M2: flat-merge
+    then full rebuild via the flush path)."""
+    cfg = cfg or IndexConfig()
+    tomb = (
+        np.array(sorted(tombstone_ext_ids), dtype=np.int64)
+        if tombstone_ext_ids
+        else None
+    )
+
+    def explode_flat(it):
+        # distributed un-packing of the flat blobs back into rows — the
+        # MergedVectorValues concatenation, delete-filtered (M2/M5)
+        for pdf in it:
+            for r in pdf.itertuples():
+                ids = np.frombuffer(r.ext_ids, np.int64)
+                x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                if tomb is not None and tomb.size:
+                    keep = ~np.isin(ids, tomb)
+                    ids, x = ids[keep], x[keep]
+                yield pd.DataFrame({"ext_id": ids, "vector": list(map(list, x))})
+
+    merged = cat.read(spark, "ann_flat").mapInPandas(
+        explode_flat, "ext_id long, vector array<float>"
+    )
+    n_total = int(cat.read(spark, "ann_flat").agg(F.sum("n_vecs")).collect()[0][0] or 0)
+    build_ann(
+        spark, merged, cat.root, cfg, id_col="ext_id", vector_col="vector",
+        rows_per_segment=max(cfg.rows_per_segment, n_total + 1),
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 3,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    v_id: str = "vec_id",
+    v_vec: str = "embedding",
+) -> DataFrame:
+    """Similarity join: for every query row, its k nearest vectors by
+    cosine → (q_id, vec_id, score, rank). Query side is broadcast (small);
+    the big side streams through a codegen'd projection + windowed top-k —
+    the scalable brute-force kNN-join shape (IVF bucketing composes on top
+    for 10^12-row sides)."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"))
+    v = vectors.select(F.col(v_id).alias("vec_id"), F.col(v_vec).alias("v_vec"))
+    pair = v.crossJoin(F.broadcast(q))
+    to64 = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(F.zip_with(to64("v_vec"), to64("q_vec"), lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform(to64("v_vec"), lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nq = F.sqrt(F.aggregate(F.transform(to64("q_vec"), lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    scored = pair.select(
+        "q_id", "vec_id", (dot / (nv * nq)).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("score", 6).alias("score"), "rank")
     )
 
 

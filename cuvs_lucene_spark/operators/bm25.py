@@ -33,6 +33,8 @@ from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
 SCORE_SCHEMA = "segment_id long, ext_id long, score double"
 MATCH_SCHEMA = "segment_id long, ext_id long"
+FILTER_BROADCAST_MAX = 200_000  # allowed-set size above which the filter
+                                # goes through doc_map blobs, not a closure
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -48,8 +50,11 @@ def _decode_block(row) -> tuple[np.ndarray, np.ndarray]:
     return docs, tfs
 
 
-def _aux_arrays(aux: pd.DataFrame):
-    """Unpack the cogrouped aux side: packed dls / ext_ids / tombstones / allowed."""
+def _aux_arrays(aux: pd.DataFrame, allowed_ext: np.ndarray | None = None):
+    """Unpack the cogrouped aux side: packed dls / ext_ids / tombstones /
+    allowed. ``allowed_ext`` is the broadcast small-filter fast path:
+    a sorted ext_id array resolved to segment-local doc ids here (searchsorted
+    against this segment's ext_id map) instead of a doc_map shuffle."""
     dls = ext_ids = None
     tomb = allowed = None
     for r in aux.itertuples():
@@ -61,6 +66,14 @@ def _aux_arrays(aux: pd.DataFrame):
             tomb = np.frombuffer(r.payload, dtype=np.int32)
         elif r.kind == "allowed":
             allowed = np.frombuffer(r.payload, dtype=np.int32)
+    if allowed_ext is not None and ext_ids is not None:
+        pos = np.searchsorted(allowed_ext, ext_ids)
+        pos = np.minimum(pos, max(allowed_ext.size - 1, 0))
+        in_filter = (
+            (allowed_ext[pos] == ext_ids) if allowed_ext.size else np.zeros(ext_ids.size, bool)
+        )
+        local = np.flatnonzero(in_filter).astype(np.int32)
+        allowed = local if allowed is None else np.intersect1d(allowed, local)
     return dls, ext_ids, tomb, allowed
 
 
@@ -75,6 +88,123 @@ def _alive_mask(n_docs: int, tomb, allowed) -> np.ndarray:
     return alive
 
 
+def _score_one_query(
+    per_term: dict[str, pd.DataFrame],
+    terms: list[str],
+    idf_by_term: dict[str, float],
+    dls: np.ndarray,
+    ext_ids: np.ndarray,
+    alive: np.ndarray,
+    avgdl: float,
+    k: int,
+    mode: str,
+    k1: float,
+    b: float,
+    R: int,
+    decoded: dict,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Score one query against one segment with block-max range pruning.
+    ``decoded`` is a shared (term, block) → (docs, tfs) cache so batched
+    queries decode every posting block at most once per segment."""
+    n_docs = dls.size
+    norm_denom = k1 * (1.0 - b + b * dls / avgdl)  # per-doc BM25 denominator part
+
+    present = [t for t in terms if t in per_term and len(per_term[t])]
+    if mode == "and" and len(present) < len(terms):
+        return None
+    if not present:
+        return None
+
+    # ---- block impact upper bounds (dl-independent: dl→(1-b) floor) ----
+    ub_of = {}
+    for t in present:
+        mt = per_term[t]["max_tf"].to_numpy(np.float64)
+        ub_of[t] = idf_by_term[t] * (k1 + 1.0) * mt / (mt + k1 * (1.0 - b))
+
+    # ---- range bounds: sum over terms of max overlapping block ub ----
+    n_ranges = (n_docs + R - 1) // R
+    range_ub = np.zeros(n_ranges, dtype=np.float64)
+    spans = {}
+    for t in present:
+        p = per_term[t]
+        r0 = p["first_doc"].to_numpy(np.int64) // R
+        r1 = p["last_doc"].to_numpy(np.int64) // R
+        spans[t] = (r0, r1)
+        tmax = np.zeros(n_ranges, dtype=np.float64)
+        for j in range(len(p)):
+            a, z = r0[j], r1[j]
+            u = ub_of[t][j]
+            if z == a:
+                if u > tmax[a]:
+                    tmax[a] = u
+            else:
+                np.maximum(tmax[a : z + 1], u, out=tmax[a : z + 1])
+        range_ub += tmax
+
+    order = np.argsort(-range_ub, kind="stable")
+    cand_docs: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    n_collected = 0
+    kth = -np.inf
+
+    for r in order:
+        if range_ub[r] <= 0.0:
+            break
+        if n_collected >= k and range_ub[r] < kth:
+            break  # bounded-heap early exit: no doc in r can enter top-k
+        lo, hi = r * R, min((r + 1) * R, n_docs)
+        acc = np.zeros(hi - lo, dtype=np.float64)
+        nterms_hit = np.zeros(hi - lo, dtype=np.int32) if mode == "and" else None
+        for t in present:
+            p = per_term[t]
+            r0, r1 = spans[t]
+            sel = np.flatnonzero((r0 <= r) & (r1 >= r))
+            if sel.size == 0:
+                if mode == "and":
+                    acc = None
+                    break
+                continue
+            t_idf = idf_by_term[t]
+            for j in sel:
+                key = (t, int(p["block_id"].iat[j]))
+                if key not in decoded:
+                    decoded[key] = _decode_block(p.iloc[j])
+                docs, tfs = decoded[key]
+                m = (docs >= lo) & (docs < hi)
+                if not m.any():
+                    continue
+                d = docs[m] - lo
+                tf = tfs[m].astype(np.float64)
+                contrib = t_idf * tf * (k1 + 1.0) / (tf + norm_denom[docs[m]])
+                acc[d] += contrib
+                if mode == "and":
+                    nterms_hit[d] += 1
+        if acc is None:
+            continue
+        live = alive[lo:hi]
+        hit = (acc > 0) & live
+        if mode == "and":
+            hit &= nterms_hit == len(present)
+        idxs = np.flatnonzero(hit)
+        if idxs.size == 0:
+            continue
+        cand_docs.append(idxs + lo)
+        cand_scores.append(acc[idxs])
+        n_collected += idxs.size
+        if n_collected >= k:
+            allsc = np.concatenate(cand_scores)
+            kth = np.partition(allsc, allsc.size - k)[allsc.size - k]
+
+    if not cand_docs:
+        return None
+    docs = np.concatenate(cand_docs)
+    scores = np.concatenate(cand_scores)
+    # per-segment exact top-k with the global tie-break (score desc, ext_id asc)
+    ext = ext_ids[docs]
+    sel = np.lexsort((ext, -scores))[:k]
+    return ext[sel], scores[sel]
+
+
 def make_scorer(
     query_terms: list[str],
     idf_by_term: dict[str, float],
@@ -82,6 +212,7 @@ def make_scorer(
     k: int,
     cfg: IndexConfig,
     mode: str = "or",
+    allowed_ext: np.ndarray | None = None,
 ):
     """Build the cogrouped per-segment scoring UDF (S1 analogue)."""
     k1, b = cfg.bm25.k1, cfg.bm25.b
@@ -97,116 +228,79 @@ def make_scorer(
         if postings.empty or aux.empty or k <= 0:  # S9 guard
             return empty
         seg = int(postings["segment_id"].iloc[0])
+        dls, ext_ids, tomb, allowed = _aux_arrays(aux, allowed_ext)
+        if dls is None:
+            return empty
+        alive = _alive_mask(dls.size, tomb, allowed)
+        if not alive.any():
+            return empty
+        per_term = {t: g for t, g in postings.groupby("term", sort=False)}
+        res = _score_one_query(
+            per_term, terms, idf_by_term, dls, ext_ids, alive, avgdl, k, mode,
+            k1, b, R, {},
+        )
+        if res is None:
+            return empty
+        ext, scores = res
+        return pd.DataFrame(
+            {"segment_id": np.full(ext.size, seg, dtype=np.int64),
+             "ext_id": ext,
+             "score": scores}
+        )
+
+    return score_segment
+
+
+def make_batch_scorer(
+    qspecs: dict[str, dict],
+    idf_by_term: dict[str, float],
+    avgdl: float,
+    cfg: IndexConfig,
+):
+    """Cogrouped UDF scoring MANY queries in one pass per segment.
+
+    qspecs: {query_id: {"terms": [...], "mode": "or"|"and", "k": int}}.
+    Posting blocks are decoded once per segment and shared across queries
+    (the throughput path: one Spark job for the whole query batch)."""
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    R = cfg.prune_range
+
+    def score_segment(postings: pd.DataFrame, aux: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series([], dtype="object"),
+             "segment_id": pd.Series([], dtype="int64"),
+             "ext_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+        if postings.empty or aux.empty:
+            return empty
+        seg = int(postings["segment_id"].iloc[0])
         dls, ext_ids, tomb, allowed = _aux_arrays(aux)
         if dls is None:
             return empty
-        n_docs = dls.size
-        alive = _alive_mask(n_docs, tomb, allowed)
+        alive = _alive_mask(dls.size, tomb, allowed)
         if not alive.any():
             return empty
-        norm_denom = k1 * (1.0 - b + b * dls / avgdl)  # per-doc BM25 denominator part
-
-        per_term = {t: postings[postings["term"] == t] for t in terms}
-        present = [t for t in terms if len(per_term[t])]
-        if mode == "and" and len(present) < len(terms):
-            return empty
-        if not present:
-            return empty
-
-        # ---- block impact upper bounds (dl-independent: dl→(1-b) floor) ----
-        ub_of = {}
-        for t in present:
-            mt = per_term[t]["max_tf"].to_numpy(np.float64)
-            ub_of[t] = idf_by_term[t] * (k1 + 1.0) * mt / (mt + k1 * (1.0 - b))
-
-        # ---- range bounds: sum over terms of max overlapping block ub ----
-        n_ranges = (n_docs + R - 1) // R
-        range_ub = np.zeros(n_ranges, dtype=np.float64)
-        spans = {}
-        for t in present:
-            p = per_term[t]
-            r0 = p["first_doc"].to_numpy(np.int64) // R
-            r1 = p["last_doc"].to_numpy(np.int64) // R
-            spans[t] = (r0, r1)
-            tmax = np.zeros(n_ranges, dtype=np.float64)
-            for j in range(len(p)):
-                a, z = r0[j], r1[j]
-                u = ub_of[t][j]
-                if z == a:
-                    if u > tmax[a]:
-                        tmax[a] = u
-                else:
-                    np.maximum(tmax[a : z + 1], u, out=tmax[a : z + 1])
-            range_ub += tmax
-
-        order = np.argsort(-range_ub, kind="stable")
-        cand_docs: list[np.ndarray] = []
-        cand_scores: list[np.ndarray] = []
-        n_collected = 0
-        kth = -np.inf
-        decoded: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
-
-        for r in order:
-            if range_ub[r] <= 0.0:
-                break
-            if n_collected >= k and range_ub[r] < kth:
-                break  # bounded-heap early exit: no doc in r can enter top-k
-            lo, hi = r * R, min((r + 1) * R, n_docs)
-            acc = np.zeros(hi - lo, dtype=np.float64)
-            seen = np.zeros(hi - lo, dtype=bool) if mode == "and" else None
-            nterms_hit = np.zeros(hi - lo, dtype=np.int32) if mode == "and" else None
-            for t in present:
-                p = per_term[t]
-                r0, r1 = spans[t]
-                sel = np.flatnonzero((r0 <= r) & (r1 >= r))
-                if sel.size == 0:
-                    if mode == "and":
-                        acc = None
-                        break
-                    continue
-                t_idf = idf_by_term[t]
-                for j in sel:
-                    key = (t, int(j))
-                    if key not in decoded:
-                        decoded[key] = _decode_block(p.iloc[j])
-                    docs, tfs = decoded[key]
-                    m = (docs >= lo) & (docs < hi)
-                    if not m.any():
-                        continue
-                    d = docs[m] - lo
-                    tf = tfs[m].astype(np.float64)
-                    contrib = t_idf * tf * (k1 + 1.0) / (tf + norm_denom[docs[m]])
-                    acc[d] += contrib
-                    if mode == "and":
-                        nterms_hit[d] += 1
-            if acc is None:
+        per_term = {t: g for t, g in postings.groupby("term", sort=False)}
+        decoded: dict = {}
+        out = []
+        for qid, spec in qspecs.items():
+            terms = [t for t in dict.fromkeys(spec["terms"]) if t in idf_by_term]
+            if spec.get("mode", "or") == "and" and len(terms) < len(set(spec["terms"])):
                 continue
-            live = alive[lo:hi]
-            hit = (acc > 0) & live
-            if mode == "and":
-                hit &= nterms_hit == len(present)
-            idxs = np.flatnonzero(hit)
-            if idxs.size == 0:
+            res = _score_one_query(
+                per_term, terms, idf_by_term, dls, ext_ids, alive, avgdl,
+                int(spec.get("k", 10)), spec.get("mode", "or"), k1, b, R, decoded,
+            )
+            if res is None:
                 continue
-            cand_docs.append(idxs + lo)
-            cand_scores.append(acc[idxs])
-            n_collected += idxs.size
-            if n_collected >= k:
-                allsc = np.concatenate(cand_scores)
-                kth = np.partition(allsc, allsc.size - k)[allsc.size - k]
-
-        if not cand_docs:
-            return empty
-        docs = np.concatenate(cand_docs)
-        scores = np.concatenate(cand_scores)
-        # per-segment exact top-k with the global tie-break (score desc, ext_id asc)
-        ext = ext_ids[docs]
-        sel = np.lexsort((ext, -scores))[:k]
-        return pd.DataFrame(
-            {"segment_id": np.full(sel.size, seg, dtype=np.int64),
-             "ext_id": ext[sel],
-             "score": scores[sel]}
-        )
+            ext, scores = res
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qid, "segment_id": seg, "ext_id": ext, "score": scores}
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return score_segment
 
@@ -348,8 +442,20 @@ def bm25_topk(
     if mode == "and" and len(df_by_term) < len(terms):
         return spark.createDataFrame([], "ext_id long, score double")
     idf_by_term = {t: idf(n, d) for t, d in df_by_term.items()}
-    scorer = make_scorer(list(df_by_term), idf_by_term, avgdl, k, cfg, mode)
-    aux = _aux_df(spark, cat, filter_ext_ids)
+    # small-filter fast path: ship the allowed set into the scorer closure
+    # (one collect; no doc_map shuffle). Large filters fall back to the
+    # per-segment packed-blob cogroup path.
+    allowed_ext = None
+    aux_filter = filter_ext_ids
+    if filter_ext_ids is not None:
+        head = filter_ext_ids.limit(FILTER_BROADCAST_MAX + 1).collect()
+        if len(head) <= FILTER_BROADCAST_MAX:
+            allowed_ext = np.sort(np.array([r[0] for r in head], dtype=np.int64))
+            aux_filter = None
+    scorer = make_scorer(
+        list(df_by_term), idf_by_term, avgdl, k, cfg, mode, allowed_ext=allowed_ext
+    )
+    aux = _aux_df(spark, cat, aux_filter)
     partials = (
         postings.groupby("segment_id")
         .cogroup(aux.groupby("segment_id"))
@@ -359,6 +465,49 @@ def bm25_topk(
         partials.orderBy(F.desc("score"), F.asc("ext_id"))
         .limit(k)
         .select("ext_id", "score")
+    )
+
+
+def bm25_topk_batch(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    qspecs: dict[str, dict],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Answer a BATCH of BM25 queries in one Spark job →
+    DataFrame(query_id, ext_id, score, rank). This is the throughput path:
+    one postings scan for the union of all query terms, one cogrouped
+    scoring pass (posting blocks decoded once per segment), one windowed
+    global top-k per query. qspecs as in :func:`make_batch_scorer`."""
+    from pyspark.sql import Window
+
+    cfg = cfg or IndexConfig()
+    all_terms = sorted({t for s in qspecs.values() for t in s["terms"]})
+    if not all_terms or not qspecs:
+        return spark.createDataFrame([], "query_id string, ext_id long, score double, rank int")
+    postings = _query_postings(spark, cat, all_terms, cfg)
+    n, avgdl, df_by_term = _live_stats_and_df(spark, cat, all_terms, cfg, postings, None)
+    df_by_term = {t: d for t, d in df_by_term.items() if d > 0}
+    if n == 0 or not df_by_term:
+        return spark.createDataFrame([], "query_id string, ext_id long, score double, rank int")
+    idf_by_term = {t: idf(n, d) for t, d in df_by_term.items()}
+    scorer = make_batch_scorer(qspecs, idf_by_term, avgdl, cfg)
+    aux = _aux_df(spark, cat, None)
+    partials = (
+        postings.groupby("segment_id")
+        .cogroup(aux.groupby("segment_id"))
+        .applyInPandas(
+            lambda _k, p, a: scorer(p, a),
+            "query_id string, segment_id long, ext_id long, score double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("ext_id"))
+    k_of = {qid: int(s.get("k", 10)) for qid, s in qspecs.items()}
+    k_map = F.create_map(*[x for qid, kk in k_of.items() for x in (F.lit(qid), F.lit(kk))])
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_map[F.col("query_id")])
+        .select("query_id", "ext_id", "score", "rank")
     )
 
 

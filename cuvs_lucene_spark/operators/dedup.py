@@ -76,14 +76,24 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, p, mh): per-doc minhash under P md5 'permutations'
-    (mh_p = min over shingles of md5(p || '|' || shingle))."""
+    (mh_p = min over shingles of md5(p || '|' || shingle)).
+
+    All P minhashes are computed as P aggregate columns in ONE pass over
+    the shingle rows (single shuffle on id; no row explosion — at 10^12
+    docs the shingle stream dominates, so a P× crossJoin would multiply
+    shuffle volume by P for nothing)."""
     sh = doc_shingles(docs, id_col, text_col, shingle_n)
-    perms = sh.sparkSession.range(n_perm).select(F.col("id").cast("int").alias("p"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .select("id", "p", F.md5(F.concat_ws("|", F.col("p"), F.col("shingle"))).alias("h"))
-        .groupBy("id", "p")
-        .agg(F.min("h").alias("mh"))
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(p), F.col("shingle")))).alias(f"mh_{p}")
+        for p in range(n_perm)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    # unpivot back to the (id, p, mh) long shape
+    pairs = []
+    for p in range(n_perm):
+        pairs += [f"'{p}'", f"mh_{p}"]
+    return wide.selectExpr("id", f"stack({n_perm}, {', '.join(pairs)}) AS (p, mh)").select(
+        "id", F.col("p").cast("int").alias("p"), "mh"
     )
 
 

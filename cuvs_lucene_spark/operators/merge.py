@@ -256,10 +256,9 @@ def merge_segments(
     # --- rewrite tables via snapshot commits
     keep_postings = postings.filter(~F.col("segment_id").isin(merged_segs))
     cat.write(
-        keep_postings.unionByName(new_postings),
+        keep_postings.unionByName(new_postings).repartition(cfg.term_buckets, "term_bucket"),
         "postings",
-        partition_by=["term_bucket"],
-        sort_within_partitions=["term", "segment_id", "block_id"],
+        sort_within_partitions=["term_bucket", "term", "segment_id", "block_id"],
     )
 
     newseg_df = spark.createDataFrame(
@@ -270,7 +269,11 @@ def merge_segments(
         .select("segment_id", F.col("new_doc_id").alias("doc_id"), "ext_id", "sha256", "dl")
     )
     keep_docmap = dm.filter(~F.col("segment_id").isin(merged_segs))
-    cat.write(keep_docmap.unionByName(new_docmap), "doc_map", partition_by=["segment_id"])
+    cat.write(
+        keep_docmap.unionByName(new_docmap).repartition("segment_id"),
+        "doc_map",
+        sort_within_partitions=["segment_id", "doc_id"],
+    )
 
     dm2 = cat.read(spark, "doc_map")
     norms = dm2.groupBy("segment_id").applyInPandas(build_norms_pdf, NORMS_SCHEMA)

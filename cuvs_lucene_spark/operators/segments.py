@@ -51,6 +51,35 @@ POSTINGS_SCHEMA = (
 
 NORMS_SCHEMA = "segment_id long, n_docs int, dls binary, ext_ids binary"
 
+# unified one-pass segment flush: every per-segment artifact (postings,
+# doc map, norms, term dictionary, stats) as kind-tagged rows of ONE table
+# — the Spark analogue of a Lucene flush writing all segment files in one
+# go. The logical tables are kind-filtered catalog views.
+SEGDATA_SCHEMA = (
+    "segment_id long, kind string, term string, term_bucket int, block_id int, "
+    "first_doc int, last_doc int, n int, max_tf int, sum_tf long, "
+    "doc_deltas binary, tfs binary, doc_id int, ext_id long, sha256 string, dl int"
+)
+
+SEGDATA_VIEWS: dict[str, tuple[str, list[str]]] = {
+    "postings": (
+        "kind = 'post'",
+        ["segment_id", "term", "term_bucket", "block_id", "first_doc",
+         "last_doc", "n", "max_tf", "sum_tf", "doc_deltas", "tfs"],
+    ),
+    "doc_map": ("kind = 'doc'", ["segment_id", "doc_id", "ext_id", "sha256", "dl"]),
+    "norms": (
+        "kind = 'norms'",
+        ["segment_id", "n AS n_docs", "doc_deltas AS dls", "tfs AS ext_ids"],
+    ),
+    "terms": ("kind = 'term'", ["segment_id", "term", "n AS df", "sum_tf AS cf"]),
+    "segment_stats": (
+        "kind = 'stats'",
+        ["segment_id", "CAST(n AS BIGINT) AS n_docs", "sum_tf AS n_tokens",
+         "sum_tf / CAST(n AS DOUBLE) AS avgdl"],
+    ),
+}
+
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
     """Deterministic term → partition bucket (crc32 — stable across runs)."""
@@ -185,6 +214,87 @@ def build_postings_pdf(pdf: pd.DataFrame, cfg: IndexConfig) -> pd.DataFrame:
     )
 
 
+def build_segment_pdf(pdf: pd.DataFrame, cfg: IndexConfig) -> pd.DataFrame:
+    """ONE segment flush in ONE pass: input (segment_id, ext_id, content,
+    sha256, dl) rows → kind-tagged rows for postings + doc_map + norms +
+    terms + stats (SEGDATA_SCHEMA). sha256/dl arrive precomputed from the
+    JVM map side (F.sha2 / regexp — no Python hashing here)."""
+    seg = int(pdf["segment_id"].iloc[0])
+    pdf = pdf.sort_values("ext_id", kind="mergesort").reset_index(drop=True)
+    n_docs = len(pdf)
+    post = build_postings_pdf(pdf[["segment_id", "ext_id", "content"]], cfg)
+    post.insert(1, "kind", "post")
+
+    dls = pdf["dl"].to_numpy(np.int64)
+    doc_rows = pd.DataFrame(
+        {
+            "segment_id": np.full(n_docs, seg, dtype=np.int64),
+            "kind": "doc",
+            "doc_id": np.arange(n_docs, dtype=np.int32),
+            "ext_id": pdf["ext_id"].to_numpy(np.int64),
+            "sha256": pdf["sha256"].to_numpy(object),
+            "dl": dls.astype(np.int32),
+        }
+    )
+    norms_row = pd.DataFrame(
+        {
+            "segment_id": [seg],
+            "kind": ["norms"],
+            "n": [np.int32(n_docs)],
+            "doc_deltas": [dls.astype(np.uint32).tobytes()],
+            "tfs": [pdf["ext_id"].to_numpy(np.int64).tobytes()],
+        }
+    )
+    # per-term dictionary from the posting blocks (df = sum n, cf = sum tf).
+    # post rows are already term-sorted by the build kernel → term
+    # boundaries + reduceat, no string groupby (measured 2.3s/segment saved)
+    if len(post):
+        t_arr = post["term"].to_numpy(object)
+        starts_mask = np.empty(len(post), dtype=bool)
+        starts_mask[0] = True
+        np.not_equal(t_arr[1:], t_arr[:-1], out=starts_mask[1:])
+        t_starts = np.flatnonzero(starts_mask)
+        term_rows = pd.DataFrame(
+            {
+                "segment_id": seg,
+                "kind": "term",
+                "term": t_arr[t_starts],
+                "n": np.add.reduceat(post["n"].to_numpy(np.int64), t_starts).astype(np.int32),
+                "sum_tf": np.add.reduceat(post["sum_tf"].to_numpy(np.int64), t_starts),
+            }
+        )
+    else:
+        term_rows = pd.DataFrame()
+    stats_row = pd.DataFrame(
+        {
+            "segment_id": [seg],
+            "kind": ["stats"],
+            "n": [np.int32(n_docs)],
+            "sum_tf": [np.int64(dls.sum())],
+        }
+    )
+    out = pd.concat(
+        [post, doc_rows, norms_row, term_rows, stats_row], ignore_index=True
+    )
+    cols = [
+        "segment_id", "kind", "term", "term_bucket", "block_id", "first_doc",
+        "last_doc", "n", "max_tf", "sum_tf", "doc_deltas", "tfs",
+        "doc_id", "ext_id", "sha256", "dl",
+    ]
+    for c in cols:
+        if c not in out.columns:
+            out[c] = None
+    out = out[cols]
+    # pandas nullable dtypes so Arrow maps mixed None/int columns cleanly
+    int32 = ["term_bucket", "block_id", "first_doc", "last_doc", "n", "max_tf", "doc_id", "dl"]
+    for c in int32:
+        out[c] = out[c].astype("Int32")
+    out["sum_tf"] = out["sum_tf"].astype("Int64")
+    out["ext_id"] = out["ext_id"].astype("Int64")
+    out["segment_id"] = out["segment_id"].astype("int64")
+    return out
+
+
 def build_norms_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """One segment's doc_map rows → one packed norms row."""
     pdf = pdf.sort_values("doc_id", kind="mergesort")
@@ -235,70 +345,100 @@ def build_index(
         F.col(id_col).cast("long").alias("ext_id"),
         F.col(content_col).cast("string").alias("content"),
     )
+    # a single small parquet file would serialize the whole build into one
+    # task; spread the scan before the segment shuffle
+    if base.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        base = base.repartition(spark.sparkContext.defaultParallelism, "ext_id")
     base = assign_segments(base, cfg, segmenter)
 
-    # -- stage: doc_map (window within segment; the ONE shuffle of the build)
-    if not (resume and cat.stage_done("doc_map")):
-        w = Window.partitionBy("segment_id").orderBy("ext_id")
-        doc_map = base.select(
+    # -- stage: the fused segment flush. ONE shuffle (groupBy segment), ONE
+    #    pandas pass per segment emitting postings + doc_map + norms +
+    #    term dictionary + stats, ONE plain parquet write. Mirrors a Lucene
+    #    flush writing all per-segment files together — and keeps the
+    #    serial (driver-side) fraction of the build near zero, which is
+    #    what the N→4N scaling efficiency lives on. sha256/dl are computed
+    #    JVM-side in the map stage (codegen'd), not in Python.
+    #    Hot-term skew cannot bite: work is partitioned by segment, never
+    #    by term. Dynamic-partition (partitionBy) writes are NOT used
+    #    anywhere — their rename-based commit degrades ~4x from 2→32
+    #    concurrent writers (measured); sorted row-group min/max stats
+    #    give kind/term pruning instead.
+    if not (resume and cat.stage_done("segdata")):
+        enriched = base.select(
             "segment_id",
-            (F.row_number().over(w) - 1).alias("doc_id"),
             "ext_id",
+            "content",
             F.sha2(F.col("content"), 256).alias("sha256"),
             doclen_expr("content").cast("int").alias("dl"),
         )
-        cat.write(doc_map, "doc_map", partition_by=["segment_id"])
-        cat.mark_stage("doc_map")
-
-    # -- stage: norms (packed per-segment arrays for the scorer)
-    if not (resume and cat.stage_done("norms")):
-        dm = cat.read(spark, "doc_map")
-        norms = dm.groupBy("segment_id").applyInPandas(build_norms_pdf, NORMS_SCHEMA)
-        cat.write(norms, "norms")
-        cat.mark_stage("norms")
-
-    # -- stage: postings (map-side per-segment build; no term shuffle at all:
-    #    hot-term skew cannot bite because work is partitioned by segment)
-    if not (resume and cat.stage_done("postings")):
-        postings = base.groupBy("segment_id").applyInPandas(
-            lambda pdf: build_postings_pdf(pdf, cfg), POSTINGS_SCHEMA
+        segdata = enriched.groupBy("segment_id").applyInPandas(
+            lambda pdf: build_segment_pdf(pdf, cfg), SEGDATA_SCHEMA
         )
         cat.write(
-            postings,
-            "postings",
-            partition_by=["term_bucket"],
-            sort_within_partitions=["term", "segment_id", "block_id"],
+            segdata,
+            "segdata",
+            sort_within_partitions=["segment_id", "kind", "term", "block_id", "doc_id"],
         )
-        cat.mark_stage("postings")
+        for name, (where, select) in SEGDATA_VIEWS.items():
+            cat.define_view(name, "segdata", where, select)
+        cat.mark_stage("segdata")
 
-    # -- stage: term dictionary + segment stats (cheap aggregations)
-    if not (resume and cat.stage_done("dictionary")):
-        p = cat.read(spark, "postings")
-        terms = (
-            p.groupBy("segment_id", "term")
-            .agg(F.sum("n").cast("int").alias("df"), F.sum("sum_tf").alias("cf"))
-        )
-        cat.write(terms, "terms", sort_within_partitions=["term"])
-        dm = cat.read(spark, "doc_map")
-        seg_stats = dm.groupBy("segment_id").agg(
-            F.count("*").alias("n_docs"),
-            F.sum("dl").alias("n_tokens"),
-            F.avg("dl").alias("avgdl"),
-        )
-        cat.write(seg_stats, "segment_stats")
-        # per-partition lineage + metrics into the manifest (small: per segment)
+    # -- stage: corpus stats + per-partition lineage (tiny scan of the
+    #    stats rows; cached in the manifest so queries pay zero jobs)
+    if not (resume and cat.stage_done("finalize")):
+        rows = cat.read(spark, "segment_stats").collect()
+        n = sum(int(r["n_docs"]) for r in rows)
+        toks = sum(int(r["n_tokens"]) for r in rows)
         lineage = {
-            str(r["segment_id"]): {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
-            for r in seg_stats.collect()
+            str(r["segment_id"]): {"n_docs": int(r["n_docs"]), "n_tokens": int(r["n_tokens"])}
+            for r in rows
         }
-        cat.mark_stage("dictionary", lineage=lineage)
+        cat.mark_stage(
+            "finalize",
+            lineage=lineage,
+            corpus_stats={"n_docs": n, "n_tokens": toks},
+        )
 
     cat.mark_stage("build", status="done")
     return cat
 
 
+def verify_integrity(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    source_docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "ext_id",
+) -> DataFrame:
+    """Integrity check (S11 + input_hint invariant): per-row
+    ``sha256(content)`` equality between the index's doc_map and the
+    source table, plus coverage both ways. Returns the violation rows
+    (empty DataFrame ⇔ index is intact)."""
+    src = source_docs.select(
+        F.col(id_col).cast("long").alias("ext_id"),
+        F.sha2(F.col(content_col).cast("string"), 256).alias("src_sha"),
+    )
+    dm = cat.read(spark, "doc_map").select("ext_id", "sha256")
+    joined = dm.join(src, "ext_id", "full_outer")
+    return joined.filter(
+        F.col("sha256").isNull()
+        | F.col("src_sha").isNull()
+        | (F.col("sha256") != F.col("src_sha"))
+    )
+
+
 def corpus_stats(spark: SparkSession, cat: IndexCatalog) -> tuple[int, float]:
-    """(N, avgdl) over live docs — tiny agg over segment_stats."""
+    """(N, avgdl) over all indexed docs. Served from the manifest cache
+    when the index is unchanged since finalize (zero Spark jobs per
+    query); recomputed from segment_stats otherwise (e.g. post-merge)."""
+    m = cat.read_manifest()
+    fin = m["stages"].get("finalize", {})
+    cached = fin.get("corpus_stats")
+    if cached and fin.get("at", 0) >= max(
+        (t.get("committed_at", 0) for t in m["tables"].values()), default=0
+    ):
+        n = cached["n_docs"]
+        return n, (cached["n_tokens"] / n if n else 0.0)
     row = (
         cat.read(spark, "segment_stats")
         .agg(F.sum("n_docs").alias("n"), F.sum("n_tokens").alias("t"))

@@ -54,12 +54,24 @@ class IndexCatalog:
 
     # --------------------------------------------------------------- tables
     def table_dir(self, table: str) -> str | None:
-        """Resolve the current snapshot directory of a table (None if absent)."""
+        """Resolve the current base snapshot directory of a table."""
         m = self.read_manifest()
         ent = m["tables"].get(table)
         if ent is None:
             return None
         return os.path.join(self.root, table, ent["snapshot"])
+
+    def table_dirs(self, table: str) -> list[str]:
+        """All live directories of a table: base snapshot + appended
+        increments (streaming micro-batch segments land as appends)."""
+        m = self.read_manifest()
+        ent = m["tables"].get(table)
+        if ent is None:
+            return []
+        base = os.path.join(self.root, table, ent["snapshot"])
+        return [base] + [
+            os.path.join(self.root, table, s) for s in ent.get("appends", [])
+        ]
 
     def write(
         self,
@@ -72,7 +84,9 @@ class IndexCatalog:
         """Write ``df`` as a NEW snapshot of ``table`` and commit atomically."""
         m = self.read_manifest()
         prev = m["tables"].get(table)
-        snap_n = (prev["n"] + 1) if prev else 1
+        if prev is not None and prev.get("view"):
+            prev = None if prev.get("snapshot") is None else prev
+        snap_n = (prev["n"] + 1) if prev else (m["tables"].get(table, {}).get("n", 0) + 1)
         snap = f"snap-{snap_n:06d}"
         out = os.path.join(self.root, table, snap)
         w = df
@@ -101,14 +115,55 @@ class IndexCatalog:
                 shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
         return out
 
+    def define_view(self, table: str, of_table: str, where: str, select: list[str]) -> None:
+        """Register ``table`` as a filtered/projected view of another table
+        (the fused single-pass segment build writes ONE unified table; the
+        logical tables — postings, doc_map, norms, terms, segment_stats —
+        are kind-filtered views of it). A later ``write(table)`` (e.g. by a
+        merge) materializes the table and replaces the view."""
+        m = self.read_manifest()
+        m["tables"][table] = {
+            "view": {"of": of_table, "where": where, "select": select},
+            "snapshot": None,
+            "n": m["tables"].get(table, {}).get("n", 0),
+        }
+        self._write_manifest(m)
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        d = self.table_dir(table)
-        if d is None:
+        ent = self.read_manifest()["tables"].get(table)
+        if ent is not None and ent.get("view"):
+            v = ent["view"]
+            return self.read(spark, v["of"]).where(v["where"]).selectExpr(*v["select"])
+        dirs = self.table_dirs(table)
+        if not dirs:
             raise FileNotFoundError(f"table {table!r} not committed in {self.root}")
-        return spark.read.parquet(d)
+        return spark.read.parquet(*dirs)
+
+    def append(self, df: DataFrame, table: str) -> str:
+        """Append an increment to ``table`` (streaming micro-batch epochs).
+        New directory + atomic manifest commit; a later full ``write``
+        collapses increments into one snapshot."""
+        m = self.read_manifest()
+        ent = m["tables"].get(table)
+        if ent is None:
+            return self.write(df, table)
+        if ent.get("view") and ent.get("snapshot") is None:
+            raise ValueError(f"{table!r} is a view; append to {ent['view']['of']!r}")
+        n = ent["n"] + 1
+        snap = f"snap-{n:06d}"
+        out = os.path.join(self.root, table, snap)
+        df.write.mode("overwrite").parquet(out)
+        ent["n"] = n
+        ent["appends"] = ent.get("appends", []) + [snap]
+        ent["committed_at"] = time.time()
+        self._write_manifest(m)
+        return out
 
     def exists(self, table: str) -> bool:
-        return self.table_dir(table) is not None
+        ent = self.read_manifest()["tables"].get(table)
+        if ent is None:
+            return False
+        return bool(ent.get("view")) or ent.get("snapshot") is not None
 
     # --------------------------------------------------------- stage resume
     def stage_done(self, stage: str) -> bool:

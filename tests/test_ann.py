@@ -125,6 +125,72 @@ def test_exact_knn_expr_vs_duckdb(spark, vecs, np_vecs):
     assert np.allclose([s for _, s in got], [s for _, s in exp], atol=2e-6)
 
 
+def test_bq_hamming_containment(spark, acat, np_vecs):
+    """Binary-quantized hamming search: approximate, checked by containment
+    vs exact top-3k (the reference's quantized-format criterion)."""
+    from cuvs_lucene_spark.operators.ann import ann_topk_bq
+
+    ids, x = np_vecs
+    q = x[11]
+    got = [r["ext_id"] for r in ann_topk_bq(spark, acat, q, k=5, cfg=CFG).collect()]
+    assert len(got) == 5
+    exact = {i for i, _ in _exact_oracle(ids, x, q, 50, "cosine")}
+    assert len(set(got) & exact) >= 3  # coarse 1-bit codes: majority overlap
+
+
+def test_merge_ann_equals_rebuild(spark, vecs, np_vecs, tmp_path):
+    """ANN merge = rebuild from flat storage (M2), tombstones dropped (M5)."""
+    from cuvs_lucene_spark.operators.ann import merge_ann
+
+    ids, x = np_vecs
+    cat = build_ann(
+        spark, vecs, str(tmp_path / "annm"), CFG, id_col="vec_id",
+        vector_col="embedding", rows_per_segment=100,
+    )
+    assert cat.read(spark, "ann_flat").count() == 5
+    dead = {int(ids[3]), int(ids[250])}
+    merge_ann(spark, cat, CFG, tombstone_ext_ids=dead)
+    assert cat.read(spark, "ann_flat").count() == 1  # single merged segment
+    q = x[7]
+    got = [r["ext_id"] for r in ann_topk(spark, cat, q, k=10, cfg=CFG, mode="exact").collect()]
+    mask = np.array([int(i) not in dead for i in ids])
+    exp = [i for i, _ in _exact_oracle(ids[mask], x[mask], q, 10, "l2")]
+    assert got == exp
+    assert not (set(got) & dead)
+
+
+def test_knn_join_matches_pairwise(spark, vecs, np_vecs):
+    from cuvs_lucene_spark.operators.ann import knn_join
+
+    ids, x = np_vecs
+    qdf = vecs.filter(vecs.vec_id < 5).selectExpr("vec_id AS q_id", "embedding AS q_vec")
+    rows = knn_join(qdf, vecs, k=3).collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+    for qi in range(5):
+        got = [v for _, v in sorted(by_q[qi])]
+        exp = [i for i, _ in _exact_oracle(ids, x, x[qi], 3, "cosine")]
+        assert got == exp
+        assert got[0] == qi  # self is its own nearest neighbor
+
+
+def test_verify_integrity(spark, tmp_path):
+    from cuvs_lucene_spark.config import IndexConfig
+    from cuvs_lucene_spark.operators.segments import build_index, verify_integrity
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = IndexConfig(rows_per_segment=100, block_size=16, term_buckets=8)
+    cat = build_index(spark, docs, str(tmp_path / "iidx"), cfg, content_col="text", id_col="doc_id")
+    assert verify_integrity(spark, cat, docs, "text", "doc_id").count() == 0
+    # a tampered source row must surface as a violation
+    tampered = docs.selectExpr("doc_id", "CASE WHEN doc_id = 7 THEN 'EVIL' ELSE text END AS text")
+    bad = verify_integrity(spark, cat, tampered, "text", "doc_id").collect()
+    assert len(bad) == 1 and bad[0]["ext_id"] == 7
+
+
 def test_quantize_kernels():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(200, 64)).astype(np.float32)

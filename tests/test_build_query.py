@@ -129,6 +129,28 @@ def test_sha256_invariant(spark, cat):
     assert dm.count() == src.count()
 
 
+def test_batch_matches_single(spark, cat):
+    """bm25_topk_batch must agree with per-query bm25_topk (and thus the
+    oracle) for every query in the batch."""
+    from cuvs_lucene_spark.operators.bm25 import bm25_topk_batch
+
+    batch = {
+        "a": {"terms": ["join"], "mode": "or", "k": 10},
+        "b": {"terms": ["join", "vector"], "mode": "or", "k": 7},
+        "c": {"terms": ["dup", "slow"], "mode": "and", "k": 10},
+        "d": {"terms": ["zzz_not_in_corpus"], "mode": "or", "k": 10},
+    }
+    rows = bm25_topk_batch(spark, cat, batch, CFG).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["ext_id"], round(r["score"], 6)))
+    for qid in by_q:
+        by_q[qid] = [(e, s) for _, e, s in sorted(by_q[qid])]
+    for qid, spec in batch.items():
+        single = _engine_topk(spark, cat, spec["terms"], k=spec["k"], mode=spec["mode"])
+        assert by_q.get(qid, []) == single, qid
+
+
 def test_pruning_equals_exhaustive(spark, cat):
     """Block-max range pruning must be exact: tiny prune_range (aggressive
     pruning) vs huge prune_range (no pruning) give identical results."""
