@@ -53,7 +53,12 @@ class AnnParams:
 
 @dataclass(frozen=True)
 class IndexConfig:
-    """Full engine configuration passed to build / merge / query entry points."""
+    """Full engine configuration passed to build / merge / query entry points.
+
+    Every field is range-validated at construction, mirroring the
+    reference's builder validation (``GPUSearchParams.java:218-421``,
+    tested by ``TestGPUSearchParams.java:42-132`` — SURVEY.md §5.6).
+    """
 
     bm25: BM25Params = field(default_factory=BM25Params)
     ann: AnnParams = field(default_factory=AnnParams)
@@ -75,6 +80,28 @@ class IndexConfig:
     default_k: int = 10
     overfetch: int = 10                 # filtered-search widening: min(k+10, |mask|)
                                         # (CuVS2510GPUVectorsReader.java:432)
+
+    def __post_init__(self):
+        checks = [
+            ("rows_per_segment", self.rows_per_segment, 1, 100_000_000),
+            ("block_size", self.block_size, 1, 1 << 20),
+            ("prune_range", self.prune_range, 1, 1 << 31),
+            ("term_buckets", self.term_buckets, 1, 1 << 20),
+            ("salt_factor", self.salt_factor, 1, 1 << 16),
+            ("merge_fanin", self.merge_fanin, 2, 1 << 16),
+            ("overfetch", self.overfetch, 0, 1 << 20),
+        ]
+        for name, val, lo, hi in checks:
+            if not isinstance(val, int) or not (lo <= val <= hi):
+                raise ValueError(f"{name}={val!r} out of range [{lo}, {hi}]")
+        if not (0.0 < self.bm25.k1 <= 10.0):
+            raise ValueError(f"bm25.k1={self.bm25.k1} out of range (0, 10]")
+        if not (0.0 <= self.bm25.b <= 1.0):
+            raise ValueError(f"bm25.b={self.bm25.b} out of range [0, 1]")
+        if self.ann.metric not in ("l2", "cosine", "dot"):
+            raise ValueError(f"ann.metric={self.ann.metric!r} not in l2|cosine|dot")
+        if self.ann.max_dims < 1:
+            raise ValueError("ann.max_dims must be >= 1")
 
 
 # ---------------------------------------------------------------------------

@@ -98,6 +98,10 @@ def assign_segments(docs: DataFrame, cfg: IndexConfig, mode: str = "range") -> D
     if mode == "hash":
         n = cfg.n_segments or 32
         return docs.withColumn("segment_id", F.pmod(F.xxhash64("ext_id"), F.lit(n)))
+    if mode == "partition":
+        # placeholder — the zero-shuffle builder derives segment_id from
+        # the task partition id inside the mapInPandas kernel
+        return docs.withColumn("segment_id", F.lit(-1).cast("long"))
     raise ValueError(f"unknown segmenter mode {mode!r}")
 
 
@@ -371,9 +375,35 @@ def build_index(
             F.sha2(F.col("content"), 256).alias("sha256"),
             doclen_expr("content").cast("int").alias("dl"),
         )
-        segdata = enriched.groupBy("segment_id").applyInPandas(
-            lambda pdf: build_segment_pdf(pdf, cfg), SEGDATA_SCHEMA
-        )
+        if segmenter == "partition":
+            # ZERO-shuffle build: input partition ≙ flush batch, exactly the
+            # reference's model (SURVEY §3.1: "input partition ≙ flush
+            # batch; executor task ≙ writer thread"). segment_id derives
+            # from the task partition id; oversized partitions are chunked.
+            # The fat `content` column never crosses the wire. Query results
+            # are segmentation-invariant (property-tested), but resume
+            # determinism requires a stable input layout — use the default
+            # "range" segmenter when ids must map to fixed segments.
+            rps = cfg.rows_per_segment
+
+            def per_partition(batches):
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                pdfs = [b for b in batches if len(b)]
+                if not pdfs:
+                    return
+                pdf = pd.concat(pdfs, ignore_index=True).sort_values("ext_id")
+                for i in range(0, len(pdf), rps):
+                    chunk = pdf.iloc[i : i + rps].copy()
+                    chunk["segment_id"] = pid * 100_000 + i // rps
+                    yield build_segment_pdf(chunk, cfg)
+
+            segdata = enriched.mapInPandas(per_partition, SEGDATA_SCHEMA)
+        else:
+            segdata = enriched.groupBy("segment_id").applyInPandas(
+                lambda pdf: build_segment_pdf(pdf, cfg), SEGDATA_SCHEMA
+            )
         cat.write(
             segdata,
             "segdata",
@@ -401,6 +431,46 @@ def build_index(
 
     cat.mark_stage("build", status="done")
     return cat
+
+
+def with_index_sort(
+    docs: DataFrame,
+    sort_cols: list[str],
+    n_partitions: int = 64,
+    rank_col: str = "sort_ext_id",
+) -> DataFrame:
+    """Index sort (H8/B6: ``IndexWriterConfig.setIndexSort``,
+    ``TestMerge.java:284``): assign a global dense rank over ``sort_cols``
+    so building with ``id_col=rank_col`` yields segments (and merges,
+    M6) physically ordered by the sort key.
+
+    Scalable global rank — NO single-partition window: range-partition by
+    the sort key, count per partition, broadcast cumulative offsets, then
+    offset + local row_number. One range shuffle, all else map-side.
+    """
+    from pyspark.sql import Window
+
+    ordered = docs.repartitionByRange(n_partitions, *sort_cols)
+    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["c"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    return (
+        with_pid.withColumn(
+            rank_col, off_expr[F.col("_pid")] + F.row_number().over(w) - 1
+        )
+        .drop("_pid")
+    )
 
 
 def verify_integrity(

@@ -27,6 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "manifest.json"
 
+# manifest format versioning (O12/I5: the reference checks codec
+# header versions on open, CuVS2510GPUVectorsReader.checkVersion:589-601)
+VERSION_START = 1
+VERSION_CURRENT = 1
+
 
 class IndexCatalog:
     """One index root directory holding versioned parquet tables + manifest."""
@@ -42,9 +47,16 @@ class IndexCatalog:
     def read_manifest(self) -> dict:
         p = self._manifest_path()
         if not os.path.exists(p):
-            return {"tables": {}, "stages": {}, "config": {}, "version": 1}
+            return {"tables": {}, "stages": {}, "config": {}, "version": VERSION_CURRENT}
         with open(p) as f:
-            return json.load(f)
+            m = json.load(f)
+        v = m.get("version", 0)
+        if not (VERSION_START <= v <= VERSION_CURRENT):
+            raise ValueError(
+                f"index manifest version {v} unsupported "
+                f"(expected {VERSION_START}..{VERSION_CURRENT}): {p}"
+            )
+        return m
 
     def _write_manifest(self, m: dict) -> None:
         tmp = self._manifest_path() + ".tmp"

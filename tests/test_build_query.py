@@ -151,6 +151,24 @@ def test_batch_matches_single(spark, cat):
         assert by_q.get(qid, []) == single, qid
 
 
+def test_partition_segmenter_equivalent(spark, cat, tmp_path):
+    """The zero-shuffle partition segmenter (input partition ≙ flush batch)
+    must answer queries identically to the range segmenter — BM25 results
+    are segmentation-invariant."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(4)
+    pcat = build_index(
+        spark, docs, str(tmp_path / "pidx"), CFG,
+        content_col="text", id_col="doc_id", segmenter="partition",
+    )
+    for terms, mode in [(["join", "vector"], "or"), (["dup", "slow"], "and")]:
+        a = _engine_topk(spark, pcat, terms, k=10, mode=mode)
+        b = _engine_topk(spark, cat, terms, k=10, mode=mode)
+        assert a == b
+    # every doc landed in exactly one segment
+    assert pcat.read(spark, "doc_map").count() == 500
+    assert pcat.read(spark, "doc_map").select("ext_id").distinct().count() == 500
+
+
 def test_pruning_equals_exhaustive(spark, cat):
     """Block-max range pruning must be exact: tiny prune_range (aggressive
     pruning) vs huge prune_range (no pruning) give identical results."""
