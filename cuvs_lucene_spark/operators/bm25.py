@@ -369,13 +369,39 @@ def _live_stats_and_df(
     has_tomb = cat.exists("tombstones") and not cat.read(spark, "tombstones").isEmpty()
     if not has_tomb:
         n, avgdl = corpus_stats(spark, cat)
-        tdf = (
-            cat.read(spark, "terms")
-            .filter(F.col("term").isin(list(terms)))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
+        # fast path: the build-time global dictionary (one pruned scan of a
+        # term-sorted compact table) when it is still fresh; otherwise
+        # aggregate the per-segment term rows
+        m = cat.read_manifest()
+        tg = m["tables"].get("terms_global")
+        fresh = (
+            tg is not None
+            and tg.get("snapshot")
+            and tg.get("committed_at", 0)
+            >= max(
+                (
+                    e.get("committed_at", 0)
+                    for t, e in m["tables"].items()
+                    if t != "terms_global"
+                ),
+                default=0,
+            )
         )
+        if fresh:
+            tdf = (
+                cat.read(spark, "terms_global")
+                .filter(F.col("term").isin(list(terms)))
+                .select("term", "df")
+                .collect()
+            )
+        else:
+            tdf = (
+                cat.read(spark, "terms")
+                .filter(F.col("term").isin(list(terms)))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
         return n, avgdl, {r["term"]: int(r["df"]) for r in tdf}
     dm = cat.read(spark, "doc_map")
     tomb = cat.read(spark, "tombstones")

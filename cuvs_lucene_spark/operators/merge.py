@@ -296,6 +296,15 @@ def merge_segments(
         remaining = tomb.join(dm2, "ext_id", "left_semi")
         cat.write(remaining, "tombstones")
 
+    # refresh the global dictionary LAST so its freshness check holds
+    cat.write(
+        cat.read(spark, "terms")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")),
+        "terms_global",
+        sort_within_partitions=["term"],
+    )
+
     lineage = {str(newseg[g]): {"merged_from": [int(s) for s in grp]} for g, grp in enumerate(groups)}
     cat.mark_stage(f"merge_{len(seg_ids)}to{len(groups)}", lineage=lineage)
     ndm.unpersist()

@@ -413,6 +413,18 @@ def build_index(
             cat.define_view(name, "segdata", where, select)
         cat.mark_stage("segdata")
 
+    # -- stage: global term dictionary (df/cf summed across segments,
+    #    sorted by term → a query's idf lookup is one pruned scan of a
+    #    compact table instead of an aggregation over per-segment rows)
+    if not (resume and cat.stage_done("terms_global")):
+        tg = (
+            cat.read(spark, "terms")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        cat.write(tg, "terms_global", sort_within_partitions=["term"])
+        cat.mark_stage("terms_global")
+
     # -- stage: corpus stats + per-partition lineage (tiny scan of the
     #    stats rows; cached in the manifest so queries pay zero jobs)
     if not (resume and cat.stage_done("finalize")):
