@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 from cuvs_lucene_spark.config import IndexConfig
 from cuvs_lucene_spark.functions import textstats
 from cuvs_lucene_spark.operators import dedup as dd
-from cuvs_lucene_spark.operators.ann import ann_topk, build_ann, exact_knn_expr
+from cuvs_lucene_spark.operators.ann import (
+    ann_topk,
+    ann_topk_sq,
+    build_ann,
+    exact_knn_expr,
+    knn_join,
+    knn_join_ivf,
+)
 from cuvs_lucene_spark.operators.bm25 import bm25_topk, boolean_and, fetch_stored, term_docs
 from cuvs_lucene_spark.operators.deletes import delete_by_term
 from cuvs_lucene_spark.operators.merge import force_merge
@@ -80,16 +87,55 @@ def _index(spark: SparkSession, sf_dir: str, variant: str = "base"):
     return cat
 
 
+ANN_RPS = 200  # ann segment size — the BQ oracle replicates seg = vec_id // ANN_RPS
+
+
 def _ann_index(spark: SparkSession, sf_dir: str):
-    key = (sf_dir, "ann")
+    # "ann_v2": format 2 (centroid rows carry n_total; float64 BQ centroid)
+    key = (sf_dir, "ann_v2")
     if key in _CATS:
         return _CATS[key]
     cat = build_ann(
-        spark, _embs(spark, sf_dir), _root(sf_dir, "ann"), CFG,
-        id_col="vec_id", vector_col="embedding", rows_per_segment=200,
+        spark, _embs(spark, sf_dir), _root(sf_dir, "ann_v2"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=ANN_RPS,
     )
     _CATS[key] = cat
     return cat
+
+
+def _annmf_index(spark: SparkSession, sf_dir: str):
+    """Two-vector-field index (per-field sidecars): field 'embedding' plus
+    a coordinate-reversed twin 'emb_rev' — L2 is permutation-invariant, so
+    querying emb_rev with a reversed query must reproduce the exact
+    single-field result (full oracle)."""
+    from cuvs_lucene_spark.operators.ann import build_ann_fields
+
+    key = (sf_dir, "annmf")
+    if key in _CATS:
+        return _CATS[key]
+    two = _embs(spark, sf_dir).select(
+        "vec_id", "embedding", F.reverse("embedding").alias("emb_rev")
+    )
+    cat = build_ann_fields(
+        spark, two, _root(sf_dir, "annmf"), CFG, id_col="vec_id",
+        fields={"embedding": "l2", "emb_rev": "l2"}, rows_per_segment=ANN_RPS,
+    )
+    _CATS[key] = cat
+    return cat
+
+
+def _contain(eng: DataFrame, exact: DataFrame, key: str = "vec_id") -> DataFrame:
+    """Reference containment criterion as an oracle-comparable result
+    (TestCuVSRandomizedVectorSearch.java:140-143: returned ids ⊆ exact
+    top-3k): one row (n_returned, n_contained) — green iff every
+    approximate hit lies inside the exact widened top-k."""
+    flagged = eng.select(key).join(
+        exact.select(key).withColumn("inx", F.lit(1)), key, "left"
+    )
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_returned"),
+        F.count("inx").cast("long").alias("n_contained"),
+    )
 
 
 def _qvec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
@@ -170,25 +216,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_engine_l2"] = lambda s, d: ann_topk(
         s, _ann_index(s, d), _qvec(s, d, 7), k=10, metric="l2", cfg=CFG, mode="exact"
     ).select(F.col("ext_id").alias("vec_id"), F.round("score", 6).alias("score"))
-    # approximate — no SQL oracle (rows-only check): IVF probe path
-    q["ann_ivf_l2"] = lambda s, d: ann_topk(
-        s, _ann_index(s, d), _qvec(s, d, 7), k=10, metric="l2", cfg=CFG, mode="ivf"
-    ).select(F.col("ext_id").alias("vec_id"), F.round("score", 6).alias("score"))
-    q["knn_join"] = lambda s, d: __import__(
-        "cuvs_lucene_spark.operators.ann", fromlist=["knn_join"]
-    ).knn_join(
+    # approximate IVF probe — containment vs exact top-3k (the reference's
+    # own recall criterion, expressed as a hash-stable one-row result)
+    q["ann_ivf_l2"] = lambda s, d: _contain(
+        ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=10, metric="l2",
+                 cfg=CFG, mode="ivf").select(F.col("ext_id").alias("vec_id")),
+        ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
+                 cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
+    )
+    # scalar-quantized coarse scan + exact rerank (B10/B11 search path)
+    q["ann_sq_l2"] = lambda s, d: _contain(
+        ann_topk_sq(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG)
+        .select(F.col("ext_id").alias("vec_id")),
+        ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
+                 cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
+    )
+    q["knn_join"] = lambda s, d: knn_join(
         _embs(s, d).filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         ),
         _embs(s, d),
         k=3,
     )
-    # binary-quantized hamming path — approximate (rows-only check)
+
+    def _knn_join_ivf_contained(s, d):
+        qdf = _embs(s, d).filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        eng = knn_join_ivf(s, _ann_index(s, d), qdf, k=3)
+        exact = knn_join(qdf, _embs(s, d), k=9, metric="l2")
+        flagged = eng.select("q_id", "vec_id").join(
+            exact.select("q_id", "vec_id").withColumn("inx", F.lit(1)),
+            ["q_id", "vec_id"],
+            "left",
+        )
+        return flagged.groupBy("q_id").agg(
+            F.count("*").cast("long").alias("n_returned"),
+            F.count("inx").cast("long").alias("n_contained"),
+        )
+
+    q["knn_join_ivf"] = _knn_join_ivf_contained
+    # binary-quantized hamming path — FULL oracle: the per-segment mean
+    # centroid, sign bits, and hamming distance are all reproducible in SQL
     q["ann_bq_hamming"] = lambda s, d: __import__(
         "cuvs_lucene_spark.operators.ann", fromlist=["ann_topk_bq"]
     ).ann_topk_bq(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG).select(
         F.col("ext_id").alias("vec_id"), "hamming"
     )
+
+    # multi-field: search the reversed-coordinate field with the reversed
+    # query — exact scores must equal the single-field L2 result
+    q["ann_multi_field"] = lambda s, d: __import__(
+        "cuvs_lucene_spark.operators.ann", fromlist=["ann_topk_field"]
+    ).ann_topk_field(
+        s, _annmf_index(s, d), "emb_rev", list(reversed(_qvec(s, d, 7))),
+        k=10, metric="l2", cfg=CFG, mode="exact",
+    ).select(F.col("ext_id").alias("vec_id"), F.round("score", 6).alias("score"))
 
     # ---- dedup / similarity ----
     q["dedup_exact"] = lambda s, d: dd.exact_dedup(_docs(s, d)).select(
@@ -321,7 +404,49 @@ FROM embeddings
 ORDER BY list_distance(embedding::DOUBLE[], {_cos_q(7)}) ASC, vec_id ASC
 LIMIT 10
 """.strip()
-    # ann_ivf_l2: approximate → intentionally no oracle (rows-only check)
+    o["ann_multi_field"] = o["ann_engine_l2"]
+    # approximate ANN paths: the deterministic expected value of the
+    # containment check is "every returned id is inside the exact top-3k",
+    # i.e. n_returned = n_contained = min(k, N)
+    _contain10 = """
+SELECT CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_returned,
+       CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_contained
+""".strip()
+    o["ann_ivf_l2"] = _contain10
+    o["ann_sq_l2"] = _contain10
+    o["knn_join_ivf"] = """
+SELECT vec_id AS q_id, CAST(3 AS BIGINT) AS n_returned, CAST(3 AS BIGINT) AS n_contained
+FROM embeddings WHERE vec_id < 20
+""".strip()
+    # full BQ oracle: per-segment (vec_id // ANN_RPS) double-precision mean
+    # centroid → sign bits for every vector AND for the query (per segment)
+    # → hamming → top-10 by (hamming asc, vec_id asc) — bit-for-bit the
+    # engine's binary_quantize/ann_topk_bq semantics
+    o["ann_bq_hamming"] = f"""
+WITH v AS (
+  SELECT vec_id, vec_id // {ANN_RPS} AS seg,
+         unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+),
+cent AS (SELECT seg, d, avg(val) AS c FROM v GROUP BY seg, d),
+qv AS (
+  SELECT unnest(embedding::DOUBLE[]) AS qval,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings WHERE vec_id = 7
+),
+bits AS (
+  SELECT v.vec_id, (v.val > cent.c) AS vb, (qv.qval > cent.c) AS qb
+  FROM v
+  JOIN cent ON v.seg = cent.seg AND v.d = cent.d
+  JOIN qv ON qv.d = v.d
+),
+ham AS (
+  SELECT vec_id, CAST(sum(CASE WHEN vb <> qb THEN 1 ELSE 0 END) AS INT) AS hamming
+  FROM bits GROUP BY vec_id
+)
+SELECT vec_id, hamming FROM ham ORDER BY hamming ASC, vec_id ASC LIMIT 10
+""".strip()
 
     o["dedup_exact"] = f"""
 SELECT fingerprint, count(*)::INT AS n_dups, min(doc_id) AS keep_id
@@ -373,7 +498,7 @@ bitsum AS (
   FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
   GROUP BY doc_id, b
 )
-SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
 FROM bitsum GROUP BY doc_id
 """.strip()
     o["embedding_near_dup"] = """

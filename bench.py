@@ -162,11 +162,21 @@ def main():
     )
     timed("ann_exact", lambda: ann_topk(spark, acat, q0, k=10, cfg=cfg, mode="exact").collect())
     timed("ann_ivf", lambda: ann_topk(spark, acat, q0, k=10, cfg=cfg, mode="ivf").collect())
+    from cuvs_lucene_spark.operators.ann import ann_topk_sq, knn_join_ivf
+
+    timed("ann_sq", lambda: ann_topk_sq(spark, acat, q0, k=10, cfg=cfg).collect())
+    qdf = embs.filter(F.col("vec_id") < 64).selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    timed("knn_join_ivf64", lambda: knn_join_ivf(spark, acat, qdf, k=5).count())
 
     # --- pipeline ops ---
     timed("minhash_lsh", lambda: minhash_lsh_candidates(docs, n_perm=8, bands=2).count())
     timed("simhash", lambda: simhash(docs).count())
     timed("quality", lambda: quality_score(docs).count())
+    from cuvs_lucene_spark.operators.dedup import embedding_near_dup
+
+    timed("embedding_near_dup", lambda: embedding_near_dup(embs, threshold=0.4).count())
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -17,8 +17,12 @@ import numpy as np
 
 
 def binary_quantize(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(n, d) float32 → ((n, ceil(d/8)) uint8 packed bits, (d,) centroid)."""
-    centroid = x.mean(axis=0)
+    """(n, d) float32 → ((n, ceil(d/8)) uint8 packed bits, (d,) centroid).
+
+    The centroid is accumulated in float64 so the bit decision
+    ``value > mean`` is reproducible by any engine computing the mean in
+    double precision (the DuckDB oracle does exactly that)."""
+    centroid = x.astype(np.float64).mean(axis=0)
     bits = x > centroid
     return np.packbits(bits, axis=1), centroid
 

@@ -31,8 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuvs_lucene_spark.config import AnnParams, IndexConfig, choose_build_algo, ivf_pq_params
-from cuvs_lucene_spark.functions.quantize import scalar_quantize
+from cuvs_lucene_spark.functions.quantize import scalar_dequantize, scalar_quantize, widen_unsigned
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+ANN_FORMAT_VERSION = 2  # v2: centroid rows carry n_total; bf-fallback list in manifest
 
 FLAT_SCHEMA = "segment_id long, n_vecs int, dim int, ext_ids binary, vectors binary"
 SQ_SCHEMA = "segment_id long, n_vecs int, dim int, mins binary, maxs binary, codes binary"
@@ -95,6 +97,13 @@ def build_ann(
     cat = IndexCatalog(index_root)
     validate_vectors(vectors, vector_col, id_col, ann)
     rps = rows_per_segment or cfg.rows_per_segment
+    cat.set_config(
+        {
+            "ann_metric": ann.metric,
+            "ann_format": ANN_FORMAT_VERSION,
+            "rows_per_segment": rps,
+        }
+    )
     base = vectors.select(
         F.col(id_col).cast("long").alias("ext_id"),
         F.col(vector_col).alias("vector"),
@@ -153,7 +162,8 @@ def build_ann(
                         "segment_id": [r.segment_id],
                         "n_vecs": [r.n_vecs],
                         "dim": [r.dim],
-                        "centroid": [centroid.astype(np.float32).tobytes()],
+                        # float64 so query-side bits reproduce build-side bits
+                        "centroid": [centroid.astype(np.float64).tobytes()],
                         "codes": [packed.tobytes()],
                     }
                 )
@@ -192,18 +202,40 @@ def build_ann(
                 yield pd.DataFrame(
                     rows, columns=["segment_id", "list_id", "n", "ext_ids", "vectors"]
                 )
+                # centroid row: list_id = -1; ext_ids carries the segment's
+                # total vector count (int64) so the query-side probe can
+                # resolve n_probes without scanning the list rows
                 yield pd.DataFrame(
                     {
                         "segment_id": [r.segment_id],
                         "list_id": [-1],
                         "n": [n_lists],
-                        "ext_ids": [b""],
+                        "ext_ids": [np.asarray([n], np.int64).tobytes()],
                         "vectors": [cents.astype(np.float32).tobytes()],
                     }
                 )
 
-    cat.write(flat_df.mapInPandas(build_ivf, IVF_SCHEMA), "ann_ivf")
-    cat.mark_stage("ann_ivf")
+    cat.write(
+        flat_df.mapInPandas(build_ivf, IVF_SCHEMA),
+        "ann_ivf",
+        sort_within_partitions=["segment_id", "list_id"],
+    )
+    # segments below min_ann_index_size emit no IVF rows; record them so the
+    # IVF search path can brute-force exactly those (B2 per-leaf fallback)
+    # without re-deriving the set per query
+    ivf_segs = {
+        r["segment_id"]
+        for r in cat.read(spark, "ann_ivf")
+        .filter(F.col("list_id") == -1)
+        .select("segment_id")
+        .collect()
+    }
+    flat_segs = {
+        r["segment_id"] for r in flat_df.select("segment_id").collect()
+    }
+    cat.mark_stage(
+        "ann_ivf", bf_fallback_segments=sorted(int(s) for s in flat_segs - ivf_segs)
+    )
     cat.mark_stage("ann_build")
     return cat
 
@@ -247,6 +279,17 @@ def ann_topk(
 
     ``mode``: ``exact`` (brute force, S4), ``ivf`` (coarse probe, S3), or
     ``auto`` (S1 routing: IVF when available and k ≤ max_k_ann).
+
+    IVF probing is two small jobs, not one full-table pass: (1) scan ONLY
+    the centroid rows (``list_id = -1`` — pushed to the parquet scan, the
+    blob column of list rows is never read), rank lists per segment on the
+    driver; (2) scan ``ann_ivf`` with a pushed ``list_id IN (...)`` filter
+    plus an exact (segment_id, list_id) broadcast semi-join, scoring each
+    selected list row independently (no shuffle). Segments too small to
+    have an IVF index (B2 fallback) are brute-forced from ``ann_flat`` via
+    the build-time ``bf_fallback_segments`` manifest list and unioned in —
+    every vector is reachable in every mode, like the reference's per-leaf
+    routing.
     """
     cfg = cfg or IndexConfig()
     ann = cfg.ann
@@ -254,33 +297,84 @@ def ann_topk(
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")  # S9
     use_ivf = mode == "ivf" or (mode == "auto" and k <= ann.max_k_ann and cat.exists("ann_ivf"))
+    if mode == "exact":
+        use_ivf = False
+    if use_ivf:
+        # similarity-function mismatch guard for derived structures
+        # (CuVS2510GPUVectorsReader.java:247-255): IVF lists are clustered
+        # under the build metric; probing them under another is an error.
+        # Exact mode scores raw flat vectors, which support any metric.
+        _validate_metric(cat, metric)
     eff_k = k
     allowed = None
     if filter_ext_ids is not None:
         allowed = np.array(sorted(filter_ext_ids), dtype=np.int64)
         eff_k = min(k + cfg.overfetch, allowed.size)  # S2 widening
 
-    if use_ivf and cat.exists("ann_ivf") and mode != "exact":
+    def _apply_filter(ids: np.ndarray, s: np.ndarray):
+        if allowed is None:
+            return ids, s
+        if allowed.size == 0:
+            return ids[:0], s[:0]
+        pos = np.minimum(np.searchsorted(allowed, ids), allowed.size - 1)
+        m = allowed[pos] == ids
+        return ids[m], s[m]
+
+    def scan(it):
+        # brute-force per-segment scan over the flat storage (S4)
+        for pdf in it:
+            for r in pdf.itertuples():
+                x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                ids = np.frombuffer(r.ext_ids, np.int64)
+                ids, s = _apply_filter(ids, _scores(x, q, metric))
+                if ids.size == 0:
+                    continue
+                top = np.argsort(-s, kind="stable")[:eff_k]
+                yield pd.DataFrame(
+                    {"segment_id": r.segment_id, "ext_id": ids[top], "score": s[top]}
+                )
+
+    crows: list = []
+    if use_ivf and cat.exists("ann_ivf"):
         ivf = cat.read(spark, "ann_ivf")
-        if ivf.isEmpty():
+        dim = q.size
+        # job 1: centroid rows only — pushed filter on list_id, column-pruned
+        crows = (
+            ivf.filter(F.col("list_id") == -1)
+            .select("segment_id", "n", "ext_ids", "vectors")
+            .collect()
+        )
+        if not crows:
             use_ivf = False
-    else:
-        use_ivf = False
+    if use_ivf and crows:
+        pairs: list[tuple[int, int]] = []
+        for r in crows:
+            n_lists = int(r["n"])
+            cents = np.frombuffer(r["vectors"], np.float32).reshape(n_lists, dim)
+            raw = r["ext_ids"]
+            n_total = (
+                int(np.frombuffer(raw, np.int64)[0]) if raw else n_lists * 2000
+            )
+            npb = nprobe or max(
+                1, min(n_lists, ivf_pq_params(n_total, dim)["n_probes"])
+            )
+            cd = ((cents.astype(np.float64) - q.astype(np.float64)[None, :]) ** 2).sum(1)
+            for li in np.argsort(cd, kind="stable")[:npb]:
+                pairs.append((int(r["segment_id"]), int(li)))
+        probe_lists = sorted({li for _, li in pairs})
+        pairs_df = spark.createDataFrame(pairs, "segment_id long, list_id int")
+        # job 2: pushed list_id IN (...) prunes row groups at the scan;
+        # the broadcast semi-join restricts to the exact probed pairs
+        sel = ivf.filter(F.col("list_id").isin(probe_lists)).join(
+            F.broadcast(pairs_df), ["segment_id", "list_id"], "left_semi"
+        )
 
-    if not use_ivf:
-        flat = cat.read(spark, "ann_flat")
-
-        def scan(it):
+        def score_lists(it):
             for pdf in it:
                 for r in pdf.itertuples():
-                    x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                    x = np.frombuffer(r.vectors, np.float32).reshape(r.n, dim)
                     ids = np.frombuffer(r.ext_ids, np.int64)
-                    s = _scores(x, q, metric)
-                    if allowed is not None:
-                        pos = np.searchsorted(allowed, ids)
-                        pos = np.minimum(pos, allowed.size - 1) if allowed.size else pos
-                        m = (allowed[pos] == ids) if allowed.size else np.zeros(ids.size, bool)
-                        ids, s = ids[m], s[m]
+                    ids, s = _apply_filter(ids, _scores(x, q, metric))
                     if ids.size == 0:
                         continue
                     top = np.argsort(-s, kind="stable")[:eff_k]
@@ -288,46 +382,98 @@ def ann_topk(
                         {"segment_id": r.segment_id, "ext_id": ids[top], "score": s[top]}
                     )
 
-        partials = flat.mapInPandas(scan, TOPK_SCHEMA)
+        partials = sel.mapInPandas(score_lists, TOPK_SCHEMA)
+        # B2 degradation ladder: segments with no IVF index are brute-forced
+        bf_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
+            "bf_fallback_segments"
+        )
+        flat = cat.read(spark, "ann_flat")
+        if bf_segs is None:
+            # pre-v2 index without the manifest list: derive it with an anti-join
+            ivf_seg_df = ivf.filter(F.col("list_id") == -1).select("segment_id")
+            missing = flat.join(ivf_seg_df, "segment_id", "left_anti")
+            partials = partials.unionByName(missing.mapInPandas(scan, TOPK_SCHEMA))
+        elif bf_segs:
+            missing = flat.filter(F.col("segment_id").isin(list(bf_segs)))
+            partials = partials.unionByName(missing.mapInPandas(scan, TOPK_SCHEMA))
     else:
-        npb = nprobe
-        if npb is None:
-            npb = None  # resolved per segment from its params
+        partials = cat.read(spark, "ann_flat").mapInPandas(scan, TOPK_SCHEMA)
 
-        def probe(pdf: pd.DataFrame) -> pd.DataFrame:
-            seg = int(pdf["segment_id"].iloc[0])
-            cent_row = pdf[pdf["list_id"] == -1]
-            lists = pdf[pdf["list_id"] >= 0]
-            if cent_row.empty or lists.empty:
-                return pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
-                    {"segment_id": "int64", "ext_id": "int64", "score": "float64"}
-                )
-            n_lists = int(cent_row["n"].iloc[0])
-            dim = q.size
-            cents = np.frombuffer(cent_row["vectors"].iloc[0], np.float32).reshape(n_lists, dim)
-            n_total = int(lists["n"].sum())
-            p = ivf_pq_params(n_total, dim)
-            n_probe = npb or max(1, min(n_lists, p["n_probes"]))
-            cd = ((cents - q[None, :]) ** 2).sum(1)
-            probe_ids = set(np.argsort(cd, kind="stable")[:n_probe].tolist())
-            sel = lists[lists["list_id"].isin(probe_ids)]
-            xs, idl = [], []
-            for r in sel.itertuples():
-                xs.append(np.frombuffer(r.vectors, np.float32).reshape(r.n, dim))
-                idl.append(np.frombuffer(r.ext_ids, np.int64))
-            x = np.concatenate(xs)
-            ids = np.concatenate(idl)
-            s = _scores(x, q, metric)
-            if allowed is not None:
-                pos = np.searchsorted(allowed, ids)
-                pos = np.minimum(pos, allowed.size - 1) if allowed.size else pos
-                m = (allowed[pos] == ids) if allowed.size else np.zeros(ids.size, bool)
-                ids, s = ids[m], s[m]
-            top = np.argsort(-s, kind="stable")[:eff_k]
-            return pd.DataFrame({"segment_id": seg, "ext_id": ids[top], "score": s[top]})
+    return (
+        partials.orderBy(F.desc("score"), F.asc("ext_id"))
+        .limit(k)
+        .select("ext_id", "score")
+    )
 
-        partials = cat.read(spark, "ann_ivf").groupBy("segment_id").applyInPandas(probe, TOPK_SCHEMA)
 
+def _validate_metric(cat: IndexCatalog, metric: str) -> None:
+    built = cat.read_manifest().get("config", {}).get("ann_metric")
+    if built is not None and metric != built:
+        raise ValueError(
+            f"query metric {metric!r} does not match index build metric "
+            f"{built!r} (similarity-function mismatch, "
+            "CuVS2510GPUVectorsReader.java:247-255)"
+        )
+
+
+def ann_topk_sq(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    rerank_factor: int = 3,
+) -> DataFrame:
+    """Scalar-quantized search path (B10/B11 read side, mirroring
+    ``LuceneAcceleratedHNSWScalarQuantizedVectorsWriter.java:149-159`` /
+    ``TestQuantizedVectorsFormats.java:38-66``): coarse L2 scan over the
+    dequantized 7-bit codes (signed→unsigned widened, B11, exactly as the
+    device consumes them) selects ``k * rerank_factor`` candidates per
+    segment; candidates are re-scored EXACTLY from the flat storage in the
+    same cogrouped pass. Approximate overall (a true neighbor can fall
+    outside the coarse cut), validated by containment like the reference's
+    quantized-format tests. Returns (ext_id, score) with exact 1/(1+d) L2
+    scores."""
+    cfg = cfg or IndexConfig()
+    _validate_metric(cat, "l2")
+    q = np.asarray(query, dtype=np.float32)
+    if k <= 0:
+        return spark.createDataFrame([], "ext_id long, score double")
+    m_coarse = k * max(1, rerank_factor)
+
+    def scan(key, sqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
+            {"segment_id": "int64", "ext_id": "int64", "score": "float64"}
+        )
+        if sqp.empty or fp.empty:
+            return empty
+        r = sqp.iloc[0]
+        n, dim = int(r["n_vecs"]), int(r["dim"])
+        codes = np.frombuffer(r["codes"], np.int8).reshape(n, dim)
+        mins = np.frombuffer(r["mins"], np.float32)
+        maxs = np.frombuffer(r["maxs"], np.float32)
+        # B11 round-trip: unsigned widening is the wire format the device
+        # sees; shift back before dequantizing
+        codes_u = widen_unsigned(codes)
+        codes_i = (codes_u.astype(np.int16) - 64).astype(np.int8)
+        x_deq = scalar_dequantize(codes_i, mins, maxs)
+        coarse = _scores(x_deq, q, "l2")
+        fr = fp.iloc[0]
+        x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
+        ids = np.frombuffer(fr["ext_ids"], np.int64)
+        cand = np.argsort(-coarse, kind="stable")[:m_coarse]
+        s = _scores(x[cand], q, "l2")
+        top = np.argsort(-s, kind="stable")[:k]
+        return pd.DataFrame(
+            {"segment_id": int(r["segment_id"]), "ext_id": ids[cand][top], "score": s[top]}
+        )
+
+    partials = (
+        cat.read(spark, "ann_sq")
+        .groupby("segment_id")
+        .cogroup(cat.read(spark, "ann_flat").groupby("segment_id"))
+        .applyInPandas(scan, TOPK_SCHEMA)
+    )
     return (
         partials.orderBy(F.desc("score"), F.asc("ext_id"))
         .limit(k)
@@ -362,7 +508,7 @@ def ann_topk_bq(
             return empty
         r = bqp.iloc[0]
         codes = np.frombuffer(r["codes"], np.uint8).reshape(r["n_vecs"], -1)
-        centroid = np.frombuffer(r["centroid"], np.float32)
+        centroid = np.frombuffer(r["centroid"], np.float64)
         ids = np.frombuffer(fp.iloc[0]["ext_ids"], np.int64)
         qbits = np.packbits(q > centroid)
         ham = np.unpackbits(codes ^ qbits[None, :], axis=1).sum(1)
@@ -384,17 +530,91 @@ def ann_topk_bq(
     )
 
 
+def build_ann_fields(
+    spark: SparkSession,
+    df: DataFrame,
+    index_root: str,
+    cfg: IndexConfig | None = None,
+    id_col: str = "ext_id",
+    fields: dict[str, str] | list[str] | None = None,
+    rows_per_segment: int | None = None,
+) -> IndexCatalog:
+    """Multi-vector-field build — the reference indexes several
+    ``KnnFloatVectorField``s per document with one writer per field
+    (``CuVS2510GPUVectorsWriter.java:69`` per-field writer list, exercised
+    by ``TestCuVSVectorsFormat.java:82-119``). Spark-first restatement:
+    one ANN sidecar catalog per field under ``root/field=<name>``, each
+    built by the same flush kernel; a parent manifest records the field
+    list and per-field metric.
+
+    ``fields``: list of vector column names, or {column: metric} for
+    per-field similarity functions. Rows where a field is NULL are skipped
+    for that field only (the ``DocsWithFieldSet`` gap semantics,
+    ``TestCuVSGaps.java:83-94``)."""
+    import dataclasses
+    import os
+
+    cfg = cfg or IndexConfig()
+    if fields is None:
+        raise ValueError("fields is required")
+    metric_of = (
+        dict(fields) if isinstance(fields, dict) else {f: cfg.ann.metric for f in fields}
+    )
+    cat = IndexCatalog(index_root)
+    for name, metric in metric_of.items():
+        fcfg = dataclasses.replace(cfg, ann=dataclasses.replace(cfg.ann, metric=metric))
+        sub_root = os.path.join(index_root, f"field={name}")
+        build_ann(
+            spark,
+            df.filter(F.col(name).isNotNull()).select(id_col, name),
+            sub_root,
+            fcfg,
+            id_col=id_col,
+            vector_col=name,
+            rows_per_segment=rows_per_segment,
+        )
+    cat.set_config({"ann_fields": metric_of, "ann_format": ANN_FORMAT_VERSION})
+    cat.mark_stage("ann_build_fields")
+    return cat
+
+
+def field_catalog(cat: IndexCatalog, field: str) -> IndexCatalog:
+    """Resolve the per-field sub-catalog of a multi-field ANN index."""
+    import os
+
+    fields = cat.read_manifest().get("config", {}).get("ann_fields", {})
+    if field not in fields:
+        raise ValueError(f"unknown vector field {field!r}; have {sorted(fields)}")
+    return IndexCatalog(os.path.join(cat.root, f"field={field}"))
+
+
+def ann_topk_field(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    field: str,
+    query: list[float] | np.ndarray,
+    **kwargs,
+) -> DataFrame:
+    """Per-field search over a multi-field index (the reader resolves the
+    field entry first — ``CuVS2510GPUVectorsReader.java:401-410``)."""
+    return ann_topk(spark, field_catalog(cat, field), query, **kwargs)
+
+
 def merge_ann(
     spark: SparkSession,
     cat: IndexCatalog,
     cfg: IndexConfig | None = None,
     tombstone_ext_ids: set[int] | None = None,
+    rows_per_segment: int | None = None,
 ) -> None:
-    """Merge all ANN segments into one: read the flat vector storage
-    (never the derived indexes — M4), drop tombstoned ids (M5), rebuild
-    every derived structure from the merged raw vectors — exactly the
-    reference's merge-as-rebuild (``vectorBasedMerge``, M2: flat-merge
-    then full rebuild via the flush path)."""
+    """Merge ANN segments: read the flat vector storage (never the derived
+    indexes — M4), drop tombstoned ids (M5), rebuild every derived
+    structure from the merged raw vectors — exactly the reference's
+    merge-as-rebuild (``vectorBasedMerge``, M2: flat-merge then full
+    rebuild via the flush path). The merged index keeps the configured
+    ``rows_per_segment`` — at scale the merge yields MANY segments, each
+    k-means'd independently in its own task, never one whole-corpus
+    single-task rebuild."""
     cfg = cfg or IndexConfig()
     tomb = (
         np.array(sorted(tombstone_ext_ids), dtype=np.int64)
@@ -417,10 +637,135 @@ def merge_ann(
     merged = cat.read(spark, "ann_flat").mapInPandas(
         explode_flat, "ext_id long, vector array<float>"
     )
-    n_total = int(cat.read(spark, "ann_flat").agg(F.sum("n_vecs")).collect()[0][0] or 0)
     build_ann(
         spark, merged, cat.root, cfg, id_col="ext_id", vector_col="vector",
-        rows_per_segment=max(cfg.rows_per_segment, n_total + 1),
+        rows_per_segment=rows_per_segment or cfg.rows_per_segment,
+    )
+
+
+def knn_join_ivf(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    queries: DataFrame,
+    k: int = 3,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Scalable kNN join through the IVF sidecar (the bucketed composition
+    ``knn_join``'s docstring promises): for every query row, its k nearest
+    indexed vectors by the index metric → (q_id, vec_id, score, rank).
+
+    Shape at scale — never an all-pairs crossJoin:
+    1. one tiny centroids scan (pushed ``list_id = -1`` filter);
+    2. every query picks its ``nprobe`` closest lists per segment —
+       computed in one pass over the (small) query side against the
+       broadcast centroid set;
+    3. probe pairs are aggregated to ONE row per (segment_id, list_id)
+       carrying the bundle of querying vectors, then broadcast-hash-joined
+       to ``ann_ivf`` on the bucket key — each list blob crosses the wire
+       exactly once regardless of how many queries probe it;
+    4. per-list exact scoring (vectorized q-bundle × list matrix), then a
+       windowed global top-k per query.
+    Approximate (probe recall), validated by containment against the exact
+    oracle like the reference's randomized search tests."""
+    metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
+    ivf = cat.read(spark, "ann_ivf")
+    crows = (
+        ivf.filter(F.col("list_id") == -1)
+        .select("segment_id", "n", "ext_ids", "vectors")
+        .collect()
+    )
+    if not crows:
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, score double, rank int"
+        )
+    # compact centroid pack, broadcast to the distributed probe pass —
+    # the query side is NEVER collected to the driver
+    cent_pack = []
+    for r in crows:
+        raw = r["ext_ids"]
+        n_lists = int(r["n"])
+        n_total = int(np.frombuffer(raw, np.int64)[0]) if raw else n_lists * 2000
+        cent_pack.append(
+            (int(r["segment_id"]), n_lists, n_total, bytes(r["vectors"]))
+        )
+    fixed_nprobe = nprobe
+
+    q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"))
+
+    def probe_fn(it):
+        # per query batch: nprobe closest lists in every segment (vectorized
+        # (Q, L) distance per segment)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qb = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["q_vec"].to_numpy()]
+            )
+            dim = qb.shape[1]
+            qi_ids = pdf["q_id"].to_numpy(np.int64)
+            for seg, n_lists, n_total, blob in cent_pack:
+                cents = np.frombuffer(blob, np.float32).reshape(n_lists, dim).astype(np.float64)
+                npb = fixed_nprobe or max(
+                    1, min(n_lists, ivf_pq_params(n_total, dim)["n_probes"])
+                )
+                d = -2.0 * qb @ cents.T + (cents**2).sum(1)[None, :]
+                probe = np.argsort(d, axis=1, kind="stable")[:, :npb]
+                yield pd.DataFrame(
+                    {
+                        "segment_id": seg,
+                        "list_id": probe.ravel().astype(np.int32),
+                        "q_id": np.repeat(qi_ids, npb),
+                        "q_vec": list(np.repeat(qb, npb, axis=0)),
+                    }
+                )
+
+    pairs = q.mapInPandas(
+        probe_fn, "segment_id long, list_id int, q_id long, q_vec array<double>"
+    )
+    # ONE row per probed bucket carrying its query bundle: the fat list
+    # blob joins exactly once however many queries probe it. AQE picks
+    # broadcast vs shuffled hash join by bundle size.
+    bundle = pairs.groupBy("segment_id", "list_id").agg(
+        F.collect_list(F.struct("q_id", "q_vec")).alias("qs")
+    )
+    sel = ivf.filter(F.col("list_id") >= 0).join(bundle, ["segment_id", "list_id"])
+
+    def score(it):
+        for pdf in it:
+            for r in pdf.itertuples():
+                dim = len(r.qs[0]["q_vec"])
+                x = np.frombuffer(r.vectors, np.float32).reshape(r.n, dim)
+                ids = np.frombuffer(r.ext_ids, np.int64)
+                qids_h = np.array([s["q_id"] for s in r.qs], dtype=np.int64)
+                qs = np.array([s["q_vec"] for s in r.qs], dtype=np.float64)
+                x64 = x.astype(np.float64)
+                if metric == "l2":
+                    d = -2.0 * qs @ x64.T + (x64**2).sum(1)[None, :] + (qs**2).sum(1)[:, None]
+                    s = 1.0 / (1.0 + np.maximum(d, 0.0))  # (Q_here, n)
+                elif metric == "cosine":
+                    num = qs @ x64.T
+                    den = np.linalg.norm(qs, axis=1)[:, None] * np.linalg.norm(x64, axis=1)[None, :]
+                    den[den == 0] = 1.0
+                    s = num / den
+                else:
+                    s = qs @ x64.T
+                m = min(k, ids.size)
+                for qi in range(qids_h.size):
+                    top = np.lexsort((ids, -s[qi]))[:m]
+                    yield pd.DataFrame(
+                        {"q_id": int(qids_h[qi]), "vec_id": ids[top], "score": s[qi][top]}
+                    )
+
+    from pyspark.sql import Window
+
+    partials = sel.mapInPandas(score, "q_id long, vec_id long, score double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("score", 6).alias("score"), "rank")
     )
 
 
@@ -432,27 +777,39 @@ def knn_join(
     q_vec: str = "q_vec",
     v_id: str = "vec_id",
     v_vec: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Similarity join: for every query row, its k nearest vectors by
-    cosine → (q_id, vec_id, score, rank). Query side is broadcast (small);
-    the big side streams through a codegen'd projection + windowed top-k —
-    the scalable brute-force kNN-join shape (IVF bucketing composes on top
-    for 10^12-row sides)."""
+    """Exact similarity join: for every query row, its k nearest vectors →
+    (q_id, vec_id, score, rank). Query side is broadcast (small); the big
+    side streams through a codegen'd projection + windowed top-k.
+    This is the EXACT path for small query sets (≤ ~10^3); for large query
+    sides use :func:`knn_join_ivf`, which equi-joins through the IVF bucket
+    key instead of scanning the full vector side per query batch.
+    ``metric``: cosine similarity, or l2 (score = 1/(1+d²), S5)."""
     from pyspark.sql import Window
 
     q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"))
     v = vectors.select(F.col(v_id).alias("vec_id"), F.col(v_vec).alias("v_vec"))
     pair = v.crossJoin(F.broadcast(q))
     to64 = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    dot = F.aggregate(F.zip_with(to64("v_vec"), to64("q_vec"), lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nv = F.sqrt(F.aggregate(F.transform(to64("v_vec"), lambda a: a * a),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nq = F.sqrt(F.aggregate(F.transform(to64("q_vec"), lambda a: a * a),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    scored = pair.select(
-        "q_id", "vec_id", (dot / (nv * nq)).alias("score")
-    )
+    if metric == "l2":
+        d2 = F.aggregate(
+            F.zip_with(to64("v_vec"), to64("q_vec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        scored = pair.select("q_id", "vec_id", (F.lit(1.0) / (F.lit(1.0) + d2)).alias("score"))
+    elif metric == "cosine":
+        dot = F.aggregate(F.zip_with(to64("v_vec"), to64("q_vec"), lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        nv = F.sqrt(F.aggregate(F.transform(to64("v_vec"), lambda a: a * a),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        nq = F.sqrt(F.aggregate(F.transform(to64("q_vec"), lambda a: a * a),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        scored = pair.select(
+            "q_id", "vec_id", (dot / (nv * nq)).alias("score")
+        )
+    else:
+        raise ValueError(metric)
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -131,14 +131,16 @@ def _score_one_query(
         r1 = p["last_doc"].to_numpy(np.int64) // R
         spans[t] = (r0, r1)
         tmax = np.zeros(n_ranges, dtype=np.float64)
-        for j in range(len(p)):
-            a, z = r0[j], r1[j]
-            u = ub_of[t][j]
-            if z == a:
-                if u > tmax[a]:
-                    tmax[a] = u
-            else:
-                np.maximum(tmax[a : z + 1], u, out=tmax[a : z + 1])
+        # vectorized: blocks are doc-sorted, so almost every block spans a
+        # single range (r1 == r0) — scatter-max those in one ufunc call and
+        # loop only the rare multi-range spans (N/32 Python iterations for a
+        # hot term would otherwise dominate per-query latency)
+        ub = ub_of[t]
+        single = r1 == r0
+        if single.any():
+            np.maximum.at(tmax, r0[single], ub[single])
+        for j in np.flatnonzero(~single):
+            np.maximum(tmax[r0[j] : r1[j] + 1], ub[j], out=tmax[r0[j] : r1[j] + 1])
         range_ub += tmax
 
     order = np.argsort(-range_ub, kind="stable")
@@ -213,8 +215,14 @@ def make_scorer(
     cfg: IndexConfig,
     mode: str = "or",
     allowed_ext: np.ndarray | None = None,
+    filter_active: bool = False,
 ):
-    """Build the cogrouped per-segment scoring UDF (S1 analogue)."""
+    """Build the cogrouped per-segment scoring UDF (S1 analogue).
+
+    ``filter_active`` marks that a pre-filter (S10) was requested through
+    the packed-blob aux path: a segment with NO ``allowed`` aux row then has
+    an EMPTY allowed set (zero filtered docs live there), never "no filter".
+    """
     k1, b = cfg.bm25.k1, cfg.bm25.b
     R = cfg.prune_range
     terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
@@ -231,6 +239,8 @@ def make_scorer(
         dls, ext_ids, tomb, allowed = _aux_arrays(aux, allowed_ext)
         if dls is None:
             return empty
+        if filter_active and allowed is None and allowed_ext is None:
+            return empty  # S10: filtered query, no allowed docs in segment
         alive = _alive_mask(dls.size, tomb, allowed)
         if not alive.any():
             return empty
@@ -310,6 +320,19 @@ def make_batch_scorer(
 # ---------------------------------------------------------------------------
 
 
+def _has_tombstones(spark: SparkSession, cat: IndexCatalog) -> bool:
+    """Manifest-first deletes check: the tombstone row count is recorded in
+    the table lineage at write time, so the common no-deletes query path
+    costs ZERO Spark jobs here (per-query serial fraction is what caps
+    N→4N throughput scaling)."""
+    if not cat.exists("tombstones"):
+        return False
+    lin = cat.table_lineage("tombstones")
+    if "n" in lin:
+        return lin["n"] > 0
+    return not cat.read(spark, "tombstones").isEmpty()
+
+
 def _aux_df(
     spark: SparkSession,
     cat: IndexCatalog,
@@ -326,14 +349,13 @@ def _aux_df(
          "payload": [np.sort(pdf["doc_id"].to_numpy(np.int32)).tobytes()]}
     )
     aux_schema = "segment_id long, kind string, payload binary"
-    if cat.exists("tombstones"):
+    if _has_tombstones(spark, cat):
         tomb = cat.read(spark, "tombstones")
-        if not tomb.isEmpty():
-            dm = cat.read(spark, "doc_map")
-            tseg = dm.join(tomb, "ext_id", "left_semi").select("segment_id", "doc_id")
-            aux = aux.union(
-                tseg.groupBy("segment_id").applyInPandas(lambda p: pack(p, "tomb"), aux_schema)
-            )
+        dm = cat.read(spark, "doc_map")
+        tseg = dm.join(tomb, "ext_id", "left_semi").select("segment_id", "doc_id")
+        aux = aux.union(
+            tseg.groupBy("segment_id").applyInPandas(lambda p: pack(p, "tomb"), aux_schema)
+        )
     if filter_ext_ids is not None:
         dm = cat.read(spark, "doc_map")
         fseg = dm.join(filter_ext_ids, "ext_id", "left_semi").select("segment_id", "doc_id")
@@ -366,14 +388,19 @@ def _live_stats_and_df(
     equal a rebuild, matching the reference's merge-as-rebuild semantics M2).
     The pre-filter (S10) does NOT change stats — it restricts candidates only.
     """
-    has_tomb = cat.exists("tombstones") and not cat.read(spark, "tombstones").isEmpty()
+    has_tomb = _has_tombstones(spark, cat)
     if not has_tomb:
         n, avgdl = corpus_stats(spark, cat)
         # fast path: the build-time global dictionary (one pruned scan of a
         # term-sorted compact table) when it is still fresh; otherwise
-        # aggregate the per-segment term rows
+        # aggregate the per-segment term rows. Per-term dfs are memoized on
+        # the catalog keyed by the snapshot commit time, so repeat queries
+        # over an unchanged index pay ZERO driver-side stats jobs.
         m = cat.read_manifest()
         tg = m["tables"].get("terms_global")
+        latest = max(
+            (e.get("committed_at", 0) for e in m["tables"].values()), default=0
+        )
         fresh = (
             tg is not None
             and tg.get("snapshot")
@@ -387,22 +414,31 @@ def _live_stats_and_df(
                 default=0,
             )
         )
-        if fresh:
-            tdf = (
-                cat.read(spark, "terms_global")
-                .filter(F.col("term").isin(list(terms)))
-                .select("term", "df")
-                .collect()
-            )
-        else:
-            tdf = (
-                cat.read(spark, "terms")
-                .filter(F.col("term").isin(list(terms)))
-                .groupBy("term")
-                .agg(F.sum("df").alias("df"))
-                .collect()
-            )
-        return n, avgdl, {r["term"]: int(r["df"]) for r in tdf}
+        memo = getattr(cat, "_term_df_memo", None)
+        if memo is None or memo.get("ver") != latest:
+            memo = {"ver": latest, "df": {}}
+            cat._term_df_memo = memo
+        missing = [t for t in terms if t not in memo["df"]]
+        if missing:
+            if fresh:
+                tdf = (
+                    cat.read(spark, "terms_global")
+                    .filter(F.col("term").isin(missing))
+                    .select("term", "df")
+                    .collect()
+                )
+            else:
+                tdf = (
+                    cat.read(spark, "terms")
+                    .filter(F.col("term").isin(missing))
+                    .groupBy("term")
+                    .agg(F.sum("df").alias("df"))
+                    .collect()
+                )
+            found = {r["term"]: int(r["df"]) for r in tdf}
+            for t in missing:
+                memo["df"][t] = found.get(t, 0)
+        return n, avgdl, {t: memo["df"][t] for t in terms}
     dm = cat.read(spark, "doc_map")
     tomb = cat.read(spark, "tombstones")
     live = dm.join(tomb, "ext_id", "left_anti")
@@ -415,16 +451,21 @@ def _live_stats_and_df(
 
     def live_df(pdf: _pd.DataFrame) -> _pd.DataFrame:
         out = []
-        alive_ids = None
         post = pdf[pdf["side"] == "p"]
         aliv = pdf[pdf["side"] == "a"]
-        alive_ids = set(aliv["doc_id_live"].dropna().astype(np.int64).tolist())
+        alive_ids = np.sort(aliv["doc_id_live"].dropna().to_numpy(np.int64))
         for t, grp in post.groupby("term"):
-            c = 0
-            for r in grp.itertuples():
-                docs = np.cumsum(varint_decode(r.doc_deltas))
-                c += int(np.isin(docs, list(alive_ids)).sum()) if alive_ids else 0
-            out.append((t, c))
+            if alive_ids.size == 0:
+                out.append((t, 0))
+                continue
+            docs = np.concatenate(
+                [np.cumsum(varint_decode(r.doc_deltas), dtype=np.int64)
+                 for r in grp.itertuples()]
+            )
+            # sorted-membership: searchsorted beats np.isin-over-set rebuild
+            pos = np.searchsorted(alive_ids, docs)
+            pos = np.minimum(pos, alive_ids.size - 1)
+            out.append((t, int((alive_ids[pos] == docs).sum())))
         return _pd.DataFrame(out, columns=["term", "df"])
 
     pside = postings.select(
@@ -479,7 +520,8 @@ def bm25_topk(
             allowed_ext = np.sort(np.array([r[0] for r in head], dtype=np.int64))
             aux_filter = None
     scorer = make_scorer(
-        list(df_by_term), idf_by_term, avgdl, k, cfg, mode, allowed_ext=allowed_ext
+        list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
+        allowed_ext=allowed_ext, filter_active=aux_filter is not None,
     )
     aux = _aux_df(spark, cat, aux_filter)
     partials = (

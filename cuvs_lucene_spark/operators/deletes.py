@@ -23,7 +23,12 @@ def delete_docs(spark: SparkSession, cat: IndexCatalog, ext_ids: DataFrame) -> i
     new = ext_ids.select(F.col("ext_id").cast("long")).distinct()
     if cat.exists("tombstones"):
         new = cat.read(spark, "tombstones").union(new).distinct()
-    cat.write(new, "tombstones")
+    new = new.cache()
+    n_tomb = new.count()
+    # the tombstone count rides the manifest lineage so every query can
+    # answer "are there deletes?" without an isEmpty Spark job
+    cat.write(new, "tombstones", lineage={"n": n_tomb})
+    new.unpersist()
     dm = cat.read(spark, "doc_map")
     return dm.join(cat.read(spark, "tombstones"), "ext_id", "left_anti").count()
 

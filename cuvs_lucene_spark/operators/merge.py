@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuvs_lucene_spark.config import IndexConfig
@@ -40,6 +40,7 @@ from cuvs_lucene_spark.operators.segments import (
     NORMS_SCHEMA,
     POSTINGS_SCHEMA,
     build_norms_pdf,
+    grouped_dense_rank,
 )
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
@@ -219,23 +220,29 @@ def merge_segments(
         "segment_id long, gkey long, salt int",
     )
 
-    # --- new doc order: live docs of merged segments, ext_id asc per group
+    # --- new doc order: live docs of merged segments, ext_id asc per group.
+    # Dense id assignment via grouped_dense_rank — a forceMerge(1) makes
+    # gkey a single value, and a plain Window.partitionBy(gkey) would pull
+    # the ENTIRE corpus's doc_map through one task; the range-partitioned
+    # offset scheme keeps it fully parallel (M6 sorted merge at scale).
     dm = cat.read(spark, "doc_map")
     tomb = cat.read(spark, "tombstones") if cat.exists("tombstones") else None
     live = dm.join(F.broadcast(gmap), "segment_id")
     if tomb is not None:
         live = live.join(tomb, "ext_id", "left_anti")
-    w = Window.partitionBy("gkey").orderBy("ext_id")
-    ndm = live.select(
+    rank_base = live.select(
         "gkey",
         "salt",
         F.col("segment_id").alias("old_segment"),
         F.col("doc_id").alias("old_doc_id"),
-        (F.row_number().over(w) - 1).alias("new_doc_id"),
         "ext_id",
         "sha256",
         "dl",
-    ).cache()
+    )
+    ranked, unpersist_rank = grouped_dense_rank(
+        rank_base, ["gkey"], ["ext_id"], "new_doc_id"
+    )
+    ndm = ranked.cache()
 
     mapping = ndm.groupBy("gkey", "old_segment").applyInPandas(_mapping_pack, MAPPING_SCHEMA)
 
@@ -248,8 +255,12 @@ def merge_segments(
         .applyInPandas(_stage1_fn(salt), PARTIAL_SCHEMA)
     )
 
-    # --- stage 2: final per-term merge + re-blocking
-    new_postings = partials.groupby("gkey").applyInPandas(
+    # --- stage 2: final per-term merge + re-blocking. Grouped by
+    # (gkey, term_bucket), NOT gkey alone — stage 2 only needs same-term
+    # runs together (block re-numbering is per-term), and a bare gkey group
+    # would funnel ALL terms of a merged segment into one pandas task,
+    # undoing stage 1's salting.
+    new_postings = partials.groupby("gkey", "term_bucket").applyInPandas(
         _stage2_fn(newseg, cfg.block_size), POSTINGS_SCHEMA
     )
 
@@ -291,10 +302,13 @@ def merge_segments(
     )
     cat.write(seg_stats, "segment_stats")
 
-    # tombstones referencing physically-dropped docs are cleared (M5)
+    # tombstones referencing physically-dropped docs are cleared (M5);
+    # the row count rides the manifest so queries skip the isEmpty job
     if tomb is not None:
-        remaining = tomb.join(dm2, "ext_id", "left_semi")
-        cat.write(remaining, "tombstones")
+        remaining = tomb.join(dm2, "ext_id", "left_semi").cache()
+        n_tomb = remaining.count()
+        cat.write(remaining, "tombstones", lineage={"n": n_tomb})
+        remaining.unpersist()
 
     # refresh the global dictionary LAST so its freshness check holds
     cat.write(
@@ -308,6 +322,7 @@ def merge_segments(
     lineage = {str(newseg[g]): {"merged_from": [int(s) for s in grp]} for g, grp in enumerate(groups)}
     cat.mark_stage(f"merge_{len(seg_ids)}to{len(groups)}", lineage=lineage)
     ndm.unpersist()
+    unpersist_rank()
     return newseg
 
 

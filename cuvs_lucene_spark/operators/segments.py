@@ -51,6 +51,12 @@ POSTINGS_SCHEMA = (
 
 NORMS_SCHEMA = "segment_id long, n_docs int, dls binary, ext_ids binary"
 
+# segment-id namespace base for the zero-shuffle partition segmenter:
+# [2^40, 2^41) — disjoint from the range segmenter (≪ 2^40) and the
+# streaming namespace (≥ 2^41, streaming.ingest.STREAM_BASE), so indexes
+# built by different paths can share one catalog without id aliasing
+PARTITION_BASE = 1 << 40
+
 # unified one-pass segment flush: every per-segment artifact (postings,
 # doc map, norms, term dictionary, stats) as kind-tagged rows of ONE table
 # — the Spark analogue of a Lucene flush writing all segment files in one
@@ -396,7 +402,7 @@ def build_index(
                 pdf = pd.concat(pdfs, ignore_index=True).sort_values("ext_id")
                 for i in range(0, len(pdf), rps):
                     chunk = pdf.iloc[i : i + rps].copy()
-                    chunk["segment_id"] = pid * 100_000 + i // rps
+                    chunk["segment_id"] = PARTITION_BASE + pid * 100_000 + i // rps
                     yield build_segment_pdf(chunk, cfg)
 
             segdata = enriched.mapInPandas(per_partition, SEGDATA_SCHEMA)
@@ -445,6 +451,86 @@ def build_index(
     return cat
 
 
+def grouped_dense_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_col: str,
+    n_partitions: int | None = None,
+):
+    """Dense 0-based rank of every row within its group, ordered by
+    ``order_cols`` — with NO per-group single-partition window (the thing
+    that serializes a forceMerge(1) doc-id assignment through one task).
+
+    Plan: range-partition by (group, order) and PERSIST the result —
+    Spark's range partitioner re-samples boundaries per execution, so
+    without pinning, the counts pass and the rank pass could disagree on
+    partition membership and produce colliding ranks. Then ONE tiny
+    driver-side pass over per-(partition, group) counts yields cumulative
+    offsets, and each partition computes ``offset + local_position``
+    map-side (zero further shuffle). Returns ``(ranked_df, unpersist)``;
+    call ``unpersist()`` after the ranked output has been fully consumed.
+    """
+    import pyspark.sql.types as T
+    from pyspark import StorageLevel, TaskContext
+
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+        )
+    ordered = df.repartitionByRange(n_partitions, *group_cols, *order_cols).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cnt_rows = (
+        ordered.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", *group_cols)
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    by_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in cnt_rows:
+        g = tuple(r[c] for c in group_cols)
+        by_group.setdefault(g, []).append((int(r["_pid"]), int(r["c"])))
+    offsets: dict[tuple, int] = {}
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, c in sorted(lst):
+            offsets[(pid,) + g] = acc
+            acc += c
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(rank_col, T.LongType(), False)]
+    )
+    gcols, ocols = list(group_cols), list(order_cols)
+
+    def rank_partition(batches):
+        pid = TaskContext.get().partitionId()
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+            gcols + ocols, kind="mergesort"
+        )
+        local = pdf.groupby(gcols, sort=False).cumcount().to_numpy(np.int64)
+        base = np.fromiter(
+            (
+                offsets[(pid,) + (g if isinstance(g, tuple) else (g,))]
+                for g in (
+                    pdf[gcols].itertuples(index=False, name=None)
+                    if len(gcols) > 1
+                    else pdf[gcols[0]]
+                )
+            ),
+            dtype=np.int64,
+            count=len(pdf),
+        )
+        pdf[rank_col] = base + local
+        yield pdf
+
+    ranked = ordered.mapInPandas(rank_partition, out_schema)
+    return ranked, (lambda: ordered.unpersist())
+
+
 def with_index_sort(
     docs: DataFrame,
     sort_cols: list[str],
@@ -456,33 +542,16 @@ def with_index_sort(
     so building with ``id_col=rank_col`` yields segments (and merges,
     M6) physically ordered by the sort key.
 
-    Scalable global rank — NO single-partition window: range-partition by
-    the sort key, count per partition, broadcast cumulative offsets, then
-    offset + local row_number. One range shuffle, all else map-side.
+    Scalable global rank via :func:`grouped_dense_rank` with a constant
+    group — one pinned range shuffle, offsets broadcast, all else
+    map-side. The intermediate stays persisted until evicted (the build
+    consuming the rank runs immediately after).
     """
-    from pyspark.sql import Window
-
-    ordered = docs.repartitionByRange(n_partitions, *sort_cols)
-    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
-    counts = {
-        r["_pid"]: r["c"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("c")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_expr = F.create_map(
-        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    tagged = docs.withColumn("_g", F.lit(0))
+    ranked, _unpersist = grouped_dense_rank(
+        tagged, ["_g"], sort_cols, rank_col, n_partitions
     )
-    w = Window.partitionBy("_pid").orderBy(*sort_cols)
-    return (
-        with_pid.withColumn(
-            rank_col, off_expr[F.col("_pid")] + F.row_number().over(w) - 1
-        )
-        .drop("_pid")
-    )
+    return ranked.drop("_g")
 
 
 def verify_integrity(

@@ -151,25 +151,44 @@ class IndexCatalog:
             raise FileNotFoundError(f"table {table!r} not committed in {self.root}")
         return spark.read.parquet(*dirs)
 
-    def append(self, df: DataFrame, table: str) -> str:
+    def append(self, df: DataFrame, table: str, tag: str | None = None) -> str:
         """Append an increment to ``table`` (streaming micro-batch epochs).
         New directory + atomic manifest commit; a later full ``write``
-        collapses increments into one snapshot."""
+        collapses increments into one snapshot.
+
+        With ``tag``, the append is IDEMPOTENT: re-appending the same tag
+        (a replayed streaming epoch — foreachBatch is at-least-once)
+        REPLACES the previous increment instead of duplicating it. The new
+        increment is written and committed BEFORE the old directory is
+        removed, so a crash at any point leaves a readable snapshot."""
         m = self.read_manifest()
         ent = m["tables"].get(table)
         if ent is None:
             return self.write(df, table)
         if ent.get("view") and ent.get("snapshot") is None:
             raise ValueError(f"{table!r} is a view; append to {ent['view']['of']!r}")
+        tags = ent.get("append_tags", {})
+        prev = tags.get(tag) if tag is not None else None
         n = ent["n"] + 1
         snap = f"snap-{n:06d}"
         out = os.path.join(self.root, table, snap)
         df.write.mode("overwrite").parquet(out)
         ent["n"] = n
-        ent["appends"] = ent.get("appends", []) + [snap]
+        ent["appends"] = [s for s in ent.get("appends", []) if s != prev] + [snap]
+        if tag is not None:
+            tags[tag] = snap
+            ent["append_tags"] = tags
         ent["committed_at"] = time.time()
-        self._write_manifest(m)
+        self._write_manifest(m)  # commit point: new increment visible, old gone
+        if prev:
+            shutil.rmtree(os.path.join(self.root, table, prev), ignore_errors=True)
         return out
+
+    def table_lineage(self, table: str) -> dict:
+        """Per-table lineage metrics recorded at write time (e.g. row
+        counts) — lets query paths answer 'is this table empty?' from the
+        manifest without a Spark job."""
+        return self.read_manifest()["tables"].get(table, {}).get("lineage", {}) or {}
 
     def exists(self, table: str) -> bool:
         ent = self.read_manifest()["tables"].get(table)

@@ -11,8 +11,18 @@ snapshot per manifest commit, and the hierarchical merge (operators.merge)
 later compacts the accumulated small segments, exactly like Lucene's
 background merges.
 
-Epoch segments are namespaced ``segment_id = (epoch + 1) * EPOCH_STRIDE +
-local`` so concurrent history never collides with batch-built segments.
+Epoch segments are namespaced ``segment_id = STREAM_BASE +
+(epoch + 1) * EPOCH_STRIDE + local`` — a range disjoint by construction
+from both the batch range segmenter (ids ≪ 2^40 for any sane
+ext_id/rows_per_segment) and the zero-shuffle partition segmenter
+(``segments.PARTITION_BASE`` = 2^40 ≤ id < 2^41), so mixing a batch-built
+index with streaming appends can never alias two different segments onto
+one id (which would silently merge their per-segment blobs).
+
+Exactly-once: foreachBatch is AT-LEAST-once, so every epoch append is
+tagged ``epoch_N`` and :meth:`IndexCatalog.append` replaces (not
+duplicates) the increment on redelivery; a fully committed epoch is
+skipped via its manifest stage checkpoint.
 """
 
 from __future__ import annotations
@@ -29,7 +39,8 @@ from cuvs_lucene_spark.operators.segments import (
 )
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
-EPOCH_STRIDE = 1_000_000
+EPOCH_STRIDE = 1 << 20
+STREAM_BASE = 1 << 41
 
 
 def incremental_add(
@@ -44,16 +55,25 @@ def incremental_add(
     """Build one epoch's segments from a (micro-)batch and append them.
 
     Same kernels as the batch build (B1-B8); only the segment namespace and
-    the commit mode (append vs overwrite) differ.
+    the commit mode (tagged append vs overwrite) differ. Idempotent per
+    epoch: a redelivered epoch replaces its own increment (see module
+    docstring), so a crash between manifest commit and streaming
+    checkpoint commit cannot double postings/norms rows.
     """
+    if cat.stage_done(f"epoch_{epoch}"):
+        return  # epoch fully committed earlier — redelivery is a no-op
     base = docs.select(
         F.col(id_col).cast("long").alias("ext_id"),
         F.col(content_col).cast("string").alias("content"),
     )
-    seg_base = (epoch + 1) * EPOCH_STRIDE
+    seg_base = STREAM_BASE + (epoch + 1) * EPOCH_STRIDE
     base = base.withColumn(
         "segment_id",
-        F.lit(seg_base) + (F.col("ext_id") / F.lit(cfg.rows_per_segment)).cast("long"),
+        F.lit(seg_base)
+        + F.pmod(
+            (F.col("ext_id") / F.lit(cfg.rows_per_segment)).cast("long"),
+            F.lit(EPOCH_STRIDE),
+        ),
     )
     enriched = base.select(
         "segment_id",
@@ -66,13 +86,12 @@ def incremental_add(
         lambda pdf: build_segment_pdf(pdf, cfg), SEGDATA_SCHEMA
     )
     if not cat.exists("segdata"):
-        # first epoch on an empty catalog: create the base snapshot + views
-        cat.write(segdata, "segdata",
-                  sort_within_partitions=["segment_id", "kind", "term", "block_id", "doc_id"])
+        # empty base snapshot + views, so every epoch (including the first)
+        # lands as a tagged, replace-on-redelivery increment
+        cat.write(spark.createDataFrame([], SEGDATA_SCHEMA), "segdata")
         for name, (where, select) in SEGDATA_VIEWS.items():
             cat.define_view(name, "segdata", where, select)
-    else:
-        cat.append(segdata, "segdata")
+    cat.append(segdata, "segdata", tag=f"epoch_{epoch}")
     cat.mark_stage(f"epoch_{epoch}", n_epoch=epoch)
 
 
@@ -88,9 +107,9 @@ def stream_build(
     """Attach the incremental ingest to a streaming DataFrame.
 
     Returns the StreamingQuery; call ``processAllAvailable()`` to drain in
-    tests. Exactly-once per epoch: foreachBatch + the catalog's atomic
-    manifest commit (an epoch re-delivered after a crash overwrites the
-    same segment ids deterministically)."""
+    tests. Exactly-once per epoch: foreachBatch (at-least-once) + the
+    catalog's idempotent tagged append — a redelivered epoch replaces its
+    own increment or is skipped when already fully committed."""
     cfg = cfg or IndexConfig()
     cat = IndexCatalog(index_root)
 

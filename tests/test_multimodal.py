@@ -1,16 +1,123 @@
 """Multimodal plumbing: schema contract, Arrow batch dataflow, frame-
-sampling math — with the stubbed decoder clearly gated."""
+sampling math, REAL PNG/WAV decode (pure-python decoders — no fake)."""
+
+import struct
+import zlib
 
 import numpy as np
 import pytest
 
 from cuvs_lucene_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    PNG_MAGIC,
     decode_media,
+    decode_png,
+    decode_wav,
     extract_features,
     fake_decode,
     sample_frames,
 )
+
+
+def _chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder (test-side forward transform): 8-bit gray or
+    RGB, per-scanline filter types chosen by ``filters`` so the decoder's
+    five unfilter paths are all exercised."""
+    if img.ndim == 2:
+        h, w, c, colortype = img.shape[0], img.shape[1], 1, 0
+        flat = img.reshape(h, w)
+    else:
+        h, w, c = img.shape
+        colortype = {1: 0, 3: 2, 4: 6}[c]
+        flat = img.reshape(h, w * c)
+    stride, bpp = w * c, c
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = filters[y]
+        line = flat[y].astype(np.int32)
+        f = np.empty(stride, np.int32)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                p = 0
+            elif ft == 1:
+                p = a
+            elif ft == 2:
+                p = b
+            elif ft == 3:
+                p = (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                p = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            f[i] = (line[i] - p) & 0xFF
+        raw.append(ft)
+        raw.extend(f.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_png_roundtrip_all_filters():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    data = encode_png(img, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(data), img)
+    rgb = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    data = encode_png(rgb, filters=[4, 3, 1, 2])
+    assert np.array_equal(decode_png(data), rgb)
+
+
+def test_wav_roundtrip():
+    t = np.arange(800) / 16000.0
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    samples, rate = decode_wav(encode_wav(wave))
+    assert rate == 16000
+    assert samples.size == 800
+    assert np.abs(samples - wave).max() < 1e-4  # 1 LSB truncation + scale
+
+
+def test_decode_media_real_png_wav(spark):
+    """The decode path with NO fake flag: real PNG and WAV payloads decode
+    through the engine's own pure-python decoders."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
+    wave = (0.25 * np.sin(np.arange(400) / 10.0)).astype(np.float32)
+    rows = [
+        (0, "image", encode_png(img, filters=[0, 1, 2, 3, 4, 1]), None),
+        (1, "audio", encode_wav(wave), None),
+    ]
+    out = {r["ext_id"]: r for r in decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    got_img = np.array(out[0]["decoded"], dtype=np.float32)
+    assert np.allclose(got_img, img.ravel() / 255.0, atol=1e-6)
+    got_wave = np.array(out[1]["decoded"], dtype=np.float32)
+    assert got_wave.size == 400
+    assert np.abs(got_wave - wave).max() < 1e-4
 
 
 @pytest.fixture(scope="module")

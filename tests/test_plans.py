@@ -54,6 +54,51 @@ def test_stored_fetch_broadcasts_topk(spark, cat):
     assert "BroadcastHashJoin" in plan
 
 
+def test_embedding_near_dup_no_nested_loop_join(spark):
+    """The exact near-dup join must distribute through block-grid
+    EQUI-joins — a BroadcastNestedLoopJoin means the O(N²) pairs flow
+    through one nested-loop operator with the whole table broadcast."""
+    from cuvs_lucene_spark.operators.dedup import embedding_near_dup
+
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_near_dup(vecs, threshold=0.4))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_grouped_dense_rank_no_window_no_single_partition(spark):
+    """The merge doc-id assignment path: no Window operator and no
+    Exchange SinglePartition anywhere (a forceMerge(1) would otherwise
+    serialize the whole doc_map through one task)."""
+    from cuvs_lucene_spark.operators.segments import grouped_dense_rank
+
+    df = spark.range(0, 10_000).selectExpr("id % 3 AS g", "id AS v")
+    ranked, unpersist = grouped_dense_rank(df, ["g"], ["v"], "rk", n_partitions=5)
+    plan = _plan(ranked)
+    unpersist()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ivf_probe_pushes_list_filter(spark, tmp_path):
+    """IVF search job 2 scans ann_ivf with a pushed list_id filter — the
+    probe prunes at the parquet scan, not inside a pandas pass."""
+    from cuvs_lucene_spark.operators.ann import ann_topk, build_ann
+
+    rows = [(i, [float(i), float(i % 7)] * 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cat = build_ann(
+        spark, df, str(tmp_path / "annplan"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=20,
+    )
+    plan = _plan(ann_topk(spark, cat, [1.0] * 8, k=3, metric="l2", cfg=CFG, mode="ivf"))
+    pushed = [seg for seg in plan.split("PushedFilters: ")[1:]]
+    assert any("list_id" in p[:300] for p in pushed), plan[:2000]
+
+
 def test_whole_stage_codegen_on_text_ops(spark):
     from cuvs_lucene_spark.functions.textstats import quality_score
 
