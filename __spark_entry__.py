@@ -99,6 +99,10 @@ def _ann_index(spark: SparkSession, sf_dir: str):
         spark, _embs(spark, sf_dir), _root(sf_dir, "ann_v2"), CFG,
         id_col="vec_id", vector_col="embedding", rows_per_segment=ANN_RPS,
     )
+    if not cat.stage_done("ann_graph"):
+        from cuvs_lucene_spark.operators.ann_graph import build_ann_graph
+
+        build_ann_graph(spark, cat, CFG)
     _CATS[key] = cat
     return cat
 
@@ -221,6 +225,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_l2"] = lambda s, d: _contain(
         ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=10, metric="l2",
                  cfg=CFG, mode="ivf").select(F.col("ext_id").alias("vec_id")),
+        ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
+                 cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
+    )
+    # graph-based ANN (B12 CAGRA→HNSW analogue): greedy beam over the
+    # per-segment kNN graph — containment vs exact top-3k
+    q["ann_graph_l2"] = lambda s, d: _contain(
+        __import__(
+            "cuvs_lucene_spark.operators.ann_graph", fromlist=["ann_topk_graph"]
+        ).ann_topk_graph(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG)
+        .select(F.col("ext_id").alias("vec_id")),
         ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
                  cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
     )
@@ -414,6 +428,7 @@ SELECT CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_returne
 """.strip()
     o["ann_ivf_l2"] = _contain10
     o["ann_sq_l2"] = _contain10
+    o["ann_graph_l2"] = _contain10
     o["knn_join_ivf"] = """
 SELECT vec_id AS q_id, CAST(3 AS BIGINT) AS n_returned, CAST(3 AS BIGINT) AS n_contained
 FROM embeddings WHERE vec_id < 20

@@ -165,6 +165,10 @@ def main():
     from cuvs_lucene_spark.operators.ann import ann_topk_sq, knn_join_ivf
 
     timed("ann_sq", lambda: ann_topk_sq(spark, acat, q0, k=10, cfg=cfg).collect())
+    from cuvs_lucene_spark.operators.ann_graph import ann_topk_graph, build_ann_graph
+
+    timed("ann_graph_build", lambda: build_ann_graph(spark, acat, cfg))
+    timed("ann_graph", lambda: ann_topk_graph(spark, acat, q0, k=10, cfg=cfg).collect())
     qdf = embs.filter(F.col("vec_id") < 64).selectExpr(
         "vec_id AS q_id", "embedding AS q_vec"
     )

@@ -356,8 +356,15 @@ def build_index(
         F.col(content_col).cast("string").alias("content"),
     )
     # a single small parquet file would serialize the whole build into one
-    # task; spread the scan before the segment shuffle
-    if base.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    # task; spread the scan before the segment shuffle. File count proxies
+    # scan parallelism without forcing an RDD conversion of the plan.
+    try:
+        n_parts = len(docs.inputFiles())
+    except Exception:
+        n_parts = 0
+    if n_parts == 0:
+        n_parts = base.rdd.getNumPartitions()
+    if n_parts < spark.sparkContext.defaultParallelism:
         base = base.repartition(spark.sparkContext.defaultParallelism, "ext_id")
     base = assign_segments(base, cfg, segmenter)
 

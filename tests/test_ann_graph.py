@@ -1,0 +1,121 @@
+"""Graph ANN sidecar (B12 analogue — AcceleratedHNSWUtils
+createMultiLayerHnswGraph/writeGraph): serialization codec roundtrip,
+containment vs exact oracle, fixed-seed golden results
+(TestCagraToHnswSerializationAndSearch.java:56,125-145 methodology:
+seed 222, 2000×32, hardcoded expected id set), single-vector segment
+(B13), and determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.config import IndexConfig
+from cuvs_lucene_spark.functions.varint import varint_decode
+from cuvs_lucene_spark.operators.ann import build_ann
+from cuvs_lucene_spark.operators.ann_graph import (
+    _knn_graph,
+    ann_topk_graph,
+    build_ann_graph,
+)
+
+from tests.conftest import SF_DIR
+
+CFG = IndexConfig()
+
+# frozen fixed-seed expectation (seed 222, 2000x32, query = row 222,
+# rows_per_segment=500, graph_degree=64, default ef) — regenerate ONLY on
+# a deliberate algorithm change
+GOLDEN_IDS = [222, 425, 412, 157, 1259, 773, 695, 469, 573, 750]
+GOLDEN_SCORES = [1.0, 0.030425, 0.028572, 0.027864, 0.026554,
+                 0.025843, 0.025708, 0.025687, 0.025572, 0.02517]
+
+
+@pytest.fixture(scope="module")
+def gcat(spark, tmp_path_factory):
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cat = build_ann(
+        spark, vecs, str(tmp_path_factory.mktemp("gann")), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=100,
+    )
+    build_ann_graph(spark, cat, CFG)
+    return cat
+
+
+@pytest.fixture(scope="module")
+def np_vecs(spark):
+    rows = sorted(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    x = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    return ids, x
+
+
+def _exact_l2_ids(ids, x, q, k):
+    s = 1.0 / (1.0 + ((x.astype(np.float64) - np.asarray(q, np.float64)) ** 2).sum(1))
+    return [int(ids[i]) for i in np.lexsort((ids, -s))[:k]]
+
+
+def test_graph_codec_roundtrip(spark, gcat, np_vecs):
+    """Neighbor lists decode back to the exact kNN adjacency: sorted ids →
+    delta → varint → offsets directory (writeGraph:239-289 recipe)."""
+    ids, x = np_vecs
+    row = (
+        gcat.read(spark, "ann_graph").filter(F.col("segment_id") == 0).collect()[0]
+    )
+    n, deg = int(row["n_nodes"]), int(row["degree"])
+    offs = np.frombuffer(row["offsets"], "<u8")
+    blob = bytes(row["graph"])
+    seg_x = x[:n]  # segment 0 = first 100 ids (range segmenter)
+    expected = _knn_graph(seg_x, deg)
+    for node in [0, 1, 17, n - 1]:
+        got = np.cumsum(varint_decode(blob[int(offs[node]) : int(offs[node + 1])]), dtype=np.int64)
+        assert np.array_equal(got, expected[node])
+        assert np.all(np.diff(got) > 0)  # sorted, deduped
+
+
+def test_graph_topk_containment(spark, gcat, np_vecs):
+    ids, x = np_vecs
+    for qi in [0, 11, 42, 250]:
+        got = [r["ext_id"] for r in ann_topk_graph(spark, gcat, x[qi], k=5, cfg=CFG).collect()]
+        assert len(got) == 5
+        assert set(got) <= set(_exact_l2_ids(ids, x, x[qi], 15))
+        assert got[0] == int(ids[qi])  # self is nearest
+
+
+def test_graph_golden_fixed_seed(spark, tmp_path):
+    rng = np.random.default_rng(222)
+    x = rng.normal(size=(2000, 32)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(2000)], "vec_id long, embedding array<float>"
+    )
+    cat = build_ann(
+        spark, df, str(tmp_path / "golden"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=500,
+    )
+    build_ann_graph(spark, cat, CFG)
+    got = [(r["ext_id"], round(r["score"], 6)) for r in ann_topk_graph(spark, cat, x[222], k=10, cfg=CFG).collect()]
+    assert [i for i, _ in got] == GOLDEN_IDS
+    assert [s for _, s in got] == pytest.approx(GOLDEN_SCORES, abs=1e-6)
+    # determinism: a second search is bit-identical
+    again = [(r["ext_id"], round(r["score"], 6)) for r in ann_topk_graph(spark, cat, x[222], k=10, cfg=CFG).collect()]
+    assert got == again
+
+
+def test_graph_single_vector_segment(spark, tmp_path):
+    """B13: a 1-vector segment gets the dummy graph and stays searchable."""
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    cat = build_ann(
+        spark, df, str(tmp_path / "one"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=4,
+    )
+    build_ann_graph(spark, cat, CFG)
+    got = [r["ext_id"] for r in ann_topk_graph(spark, cat, [4.0] * 8, k=2, cfg=CFG).collect()]
+    assert got[0] == 4  # lives alone in segment 1
+
+
+def test_graph_k0(spark, gcat):
+    assert ann_topk_graph(spark, gcat, [0.0] * 64, k=0, cfg=CFG).count() == 0

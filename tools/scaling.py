@@ -69,6 +69,11 @@ batch = {f"q{i}": {"terms": [vocab[i %% len(vocab)], f"func_{i*7 %% 500}"],
                    "mode": "or", "k": 10} for i in range(128)}
 t0 = time.time()
 nres = bm25_topk_batch(spark, cat, batch, cfg).count()
+query_cold_sec = time.time() - t0
+# steady-state run: python workers spawned, codegen done — this is the
+# per-batch cost that repeats on a long-lived cluster
+t0 = time.time()
+nres = bm25_topk_batch(spark, cat, batch, cfg).count()
 query_sec = time.time() - t0
 res = sorted((r["query_id"], r["rank"], r["ext_id"], round(r["score"], 6))
              for r in bm25_topk_batch(spark, cat, batch, cfg).collect())
@@ -77,6 +82,7 @@ rh = hashlib.sha256(repr(res).encode()).hexdigest()[:16]
 print(json.dumps({"cpus": cpus, "build_sec": round(build_sec, 2),
                   "files_per_sec": round(n_docs / build_sec, 1),
                   "query_sec": round(query_sec, 2),
+                  "query_cold_sec": round(query_cold_sec, 2),
                   "qps": round(128 / query_sec, 2),
                   "n_results": nres, "result_hash": rh}))
 import shutil; shutil.rmtree(tmp, ignore_errors=True)
