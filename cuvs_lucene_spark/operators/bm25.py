@@ -35,6 +35,9 @@ SCORE_SCHEMA = "segment_id long, ext_id long, score double"
 MATCH_SCHEMA = "segment_id long, ext_id long"
 FILTER_BROADCAST_MAX = 200_000  # allowed-set size above which the filter
                                 # goes through doc_map blobs, not a closure
+NORMS_BROADCAST_MAX_DOCS = 2_000_000  # ≤ ~24MB of packed norms: ship them
+                                      # once per executor instead of
+                                      # re-scanning + cogrouping per query
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -42,11 +45,35 @@ def idf(n_docs: int, df: int) -> float:
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
 
-def _decode_block(row) -> tuple[np.ndarray, np.ndarray]:
-    """One posting-block row → (doc_ids ascending, tfs). Block-independent:
-    the first delta in every block is the absolute doc id (skip-friendly)."""
-    docs = np.cumsum(varint_decode(row.doc_deltas), dtype=np.int64)
-    tfs = varint_decode(row.tfs)
+_POST_COLS = ("block_id", "first_doc", "last_doc", "n", "max_tf", "doc_deltas", "tfs")
+
+
+def _group_postings(postings: pd.DataFrame, wanted) -> dict[str, dict[str, np.ndarray]]:
+    """Posting rows → {term: {col: numpy array}} without pandas groupby /
+    itertuples — profiling showed row boxing dominated the scorer (70% of
+    the batch path); raw object arrays keep the hot loop in numpy."""
+    t_arr = postings["term"].to_numpy()
+    order = np.argsort(t_arr, kind="mergesort")
+    t_s = t_arr[order]
+    cols = {c: postings[c].to_numpy()[order] for c in _POST_COLS}
+    if t_s.size == 0:
+        return {}
+    starts = np.flatnonzero(np.concatenate(([True], t_s[1:] != t_s[:-1])))
+    ends = np.append(starts[1:], t_s.size)
+    out: dict[str, dict[str, np.ndarray]] = {}
+    for a, z in zip(starts, ends):
+        t = t_s[a]
+        if wanted is None or t in wanted:
+            out[t] = {c: cols[c][a:z] for c in _POST_COLS}
+    return out
+
+
+def _decode_term(p: dict[str, np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """All posting blocks of one term → (doc_ids ascending, tfs)."""
+    docs = np.concatenate(
+        [np.cumsum(varint_decode(b), dtype=np.int64) for b in p["doc_deltas"]]
+    )
+    tfs = np.concatenate([varint_decode(b) for b in p["tfs"]])
     return docs, tfs
 
 
@@ -77,6 +104,35 @@ def _aux_arrays(aux: pd.DataFrame, allowed_ext: np.ndarray | None = None):
     return dls, ext_ids, tomb, allowed
 
 
+def _resolve_allowed(allowed_ext: np.ndarray, ext_ids: np.ndarray) -> np.ndarray:
+    """Broadcast small-filter set (sorted ext_ids) → segment-local doc ids."""
+    if allowed_ext.size == 0:
+        return np.empty(0, np.int32)
+    pos = np.minimum(np.searchsorted(allowed_ext, ext_ids), allowed_ext.size - 1)
+    return np.flatnonzero(allowed_ext[pos] == ext_ids).astype(np.int32)
+
+
+def _norms_broadcast(spark: SparkSession, cat: IndexCatalog):
+    """Packed per-segment norms (dls + ext_ids blobs) shipped ONCE per
+    executor as a Spark broadcast, memoized on the catalog keyed by the
+    manifest commit time. Lets the no-deletes hot query path skip the
+    second segdata scan and the cogroup shuffle entirely — a repeat query
+    is a single Spark job. Gated by NORMS_BROADCAST_MAX_DOCS (12 bytes per
+    doc); larger corpora stay on the cogroup path."""
+    m = cat.read_manifest()
+    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
+    memo = getattr(cat, "_norms_memo", None)
+    if memo is not None and memo["ver"] == ver:
+        return memo["bc"]
+    rows = cat.read(spark, "norms").collect()
+    blobs = {
+        int(r["segment_id"]): (bytes(r["dls"]), bytes(r["ext_ids"])) for r in rows
+    }
+    bc = spark.sparkContext.broadcast(blobs)
+    cat._norms_memo = {"ver": ver, "bc": bc}
+    return bc
+
+
 def _alive_mask(n_docs: int, tomb, allowed) -> np.ndarray:
     alive = np.ones(n_docs, dtype=bool)
     if tomb is not None and tomb.size:
@@ -89,7 +145,7 @@ def _alive_mask(n_docs: int, tomb, allowed) -> np.ndarray:
 
 
 def _score_one_query(
-    per_term: dict[str, pd.DataFrame],
+    per_term: dict[str, dict[str, np.ndarray]],
     terms: list[str],
     idf_by_term: dict[str, float],
     dls: np.ndarray,
@@ -109,7 +165,7 @@ def _score_one_query(
     n_docs = dls.size
     norm_denom = k1 * (1.0 - b + b * dls / avgdl)  # per-doc BM25 denominator part
 
-    present = [t for t in terms if t in per_term and len(per_term[t])]
+    present = [t for t in terms if t in per_term and per_term[t]["block_id"].size]
     if mode == "and" and len(present) < len(terms):
         return None
     if not present:
@@ -118,7 +174,7 @@ def _score_one_query(
     # ---- block impact upper bounds (dl-independent: dl→(1-b) floor) ----
     ub_of = {}
     for t in present:
-        mt = per_term[t]["max_tf"].to_numpy(np.float64)
+        mt = per_term[t]["max_tf"].astype(np.float64)
         ub_of[t] = idf_by_term[t] * (k1 + 1.0) * mt / (mt + k1 * (1.0 - b))
 
     # ---- range bounds: sum over terms of max overlapping block ub ----
@@ -127,8 +183,8 @@ def _score_one_query(
     spans = {}
     for t in present:
         p = per_term[t]
-        r0 = p["first_doc"].to_numpy(np.int64) // R
-        r1 = p["last_doc"].to_numpy(np.int64) // R
+        r0 = p["first_doc"].astype(np.int64) // R
+        r1 = p["last_doc"].astype(np.int64) // R
         spans[t] = (r0, r1)
         tmax = np.zeros(n_ranges, dtype=np.float64)
         # vectorized: blocks are doc-sorted, so almost every block spans a
@@ -168,9 +224,12 @@ def _score_one_query(
                 continue
             t_idf = idf_by_term[t]
             for j in sel:
-                key = (t, int(p["block_id"].iat[j]))
+                key = (t, int(p["block_id"][j]))
                 if key not in decoded:
-                    decoded[key] = _decode_block(p.iloc[j])
+                    decoded[key] = (
+                        np.cumsum(varint_decode(p["doc_deltas"][j]), dtype=np.int64),
+                        varint_decode(p["tfs"][j]),
+                    )
                 docs, tfs = decoded[key]
                 m = (docs >= lo) & (docs < hi)
                 if not m.any():
@@ -216,8 +275,14 @@ def make_scorer(
     mode: str = "or",
     allowed_ext: np.ndarray | None = None,
     filter_active: bool = False,
+    norms_bc=None,
 ):
-    """Build the cogrouped per-segment scoring UDF (S1 analogue).
+    """Build the per-segment scoring UDF (S1 analogue).
+
+    Two wirings: cogrouped with the packed aux side (tombstones / large
+    filters), or — when ``norms_bc`` is set and the caller passes
+    ``aux=None`` — norms resolved from the executor-local broadcast (the
+    hot path: one scan, one shuffle, one job).
 
     ``filter_active`` marks that a pre-filter (S10) was requested through
     the packed-blob aux path: a segment with NO ``allowed`` aux row then has
@@ -227,16 +292,31 @@ def make_scorer(
     R = cfg.prune_range
     terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
 
-    def score_segment(postings: pd.DataFrame, aux: pd.DataFrame) -> pd.DataFrame:
+    def score_segment(postings: pd.DataFrame, aux: pd.DataFrame | None) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"segment_id": pd.Series([], dtype="int64"),
              "ext_id": pd.Series([], dtype="int64"),
              "score": pd.Series([], dtype="float64")}
         )
-        if postings.empty or aux.empty or k <= 0:  # S9 guard
+        if postings.empty or k <= 0:  # S9 guard
             return empty
         seg = int(postings["segment_id"].iloc[0])
-        dls, ext_ids, tomb, allowed = _aux_arrays(aux, allowed_ext)
+        if aux is None:
+            blob = norms_bc.value.get(seg)
+            if blob is None:
+                return empty
+            dls = np.frombuffer(blob[0], dtype=np.uint32).astype(np.float64)
+            ext_ids = np.frombuffer(blob[1], dtype=np.int64)
+            tomb = None
+            allowed = (
+                _resolve_allowed(allowed_ext, ext_ids)
+                if allowed_ext is not None
+                else None
+            )
+        else:
+            if aux.empty:
+                return empty
+            dls, ext_ids, tomb, allowed = _aux_arrays(aux, allowed_ext)
         if dls is None:
             return empty
         if filter_active and allowed is None and allowed_ext is None:
@@ -244,7 +324,7 @@ def make_scorer(
         alive = _alive_mask(dls.size, tomb, allowed)
         if not alive.any():
             return empty
-        per_term = {t: g for t, g in postings.groupby("term", sort=False)}
+        per_term = _group_postings(postings, set(terms))
         res = _score_one_query(
             per_term, terms, idf_by_term, dls, ext_ids, alive, avgdl, k, mode,
             k1, b, R, {},
@@ -266,48 +346,98 @@ def make_batch_scorer(
     idf_by_term: dict[str, float],
     avgdl: float,
     cfg: IndexConfig,
+    norms_bc=None,
 ):
     """Cogrouped UDF scoring MANY queries in one pass per segment.
 
     qspecs: {query_id: {"terms": [...], "mode": "or"|"and", "k": int}}.
-    Posting blocks are decoded once per segment and shared across queries
-    (the throughput path: one Spark job for the whole query batch)."""
-    k1, b = cfg.bm25.k1, cfg.bm25.b
-    R = cfg.prune_range
 
-    def score_segment(postings: pd.DataFrame, aux: pd.DataFrame) -> pd.DataFrame:
+    Throughput algorithm (the batch path's whole point): every needed term
+    is decoded and scored ONCE per segment into a dense per-doc score
+    vector — cost O(total postings of the term union). Each query is then
+    just the sum of its 2-3 term vectors plus an argpartition top-k, a few
+    numpy calls instead of a full pruning pass — per-(query, segment) work
+    drops from ~ms to ~tens of µs, which is what the N→4N query-throughput
+    scaling rides on. Scores accumulate term-by-term in float64 in the
+    same order as the single-query scorer (identical results)."""
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+
+    def score_segment(postings: pd.DataFrame, aux: pd.DataFrame | None) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"query_id": pd.Series([], dtype="object"),
              "segment_id": pd.Series([], dtype="int64"),
              "ext_id": pd.Series([], dtype="int64"),
              "score": pd.Series([], dtype="float64")}
         )
-        if postings.empty or aux.empty:
+        if postings.empty:
             return empty
         seg = int(postings["segment_id"].iloc[0])
-        dls, ext_ids, tomb, allowed = _aux_arrays(aux)
+        if aux is None:
+            blob = norms_bc.value.get(seg)
+            if blob is None:
+                return empty
+            dls = np.frombuffer(blob[0], dtype=np.uint32).astype(np.float64)
+            ext_ids = np.frombuffer(blob[1], dtype=np.int64)
+            tomb = allowed = None
+        else:
+            if aux.empty:
+                return empty
+            dls, ext_ids, tomb, allowed = _aux_arrays(aux)
         if dls is None:
             return empty
         alive = _alive_mask(dls.size, tomb, allowed)
         if not alive.any():
             return empty
-        per_term = {t: g for t, g in postings.groupby("term", sort=False)}
-        decoded: dict = {}
+        n_docs = dls.size
+        norm_denom = k1 * (1.0 - b + b * dls / avgdl)
+
+        # decode + score every term of the batch union ONCE
+        score_vec: dict[str, np.ndarray] = {}
+        has_term: dict[str, np.ndarray] = {}
+        for t, p in _group_postings(postings, set(idf_by_term)).items():
+            docs, tfs = _decode_term(p)
+            tfs = tfs.astype(np.float64)
+            v = np.zeros(n_docs, dtype=np.float64)
+            v[docs] = idf_by_term[t] * tfs * (k1 + 1.0) / (tfs + norm_denom[docs])
+            score_vec[t] = v
+            m = np.zeros(n_docs, dtype=bool)
+            m[docs] = True
+            has_term[t] = m
+
         out = []
         for qid, spec in qspecs.items():
             terms = [t for t in dict.fromkeys(spec["terms"]) if t in idf_by_term]
-            if spec.get("mode", "or") == "and" and len(terms) < len(set(spec["terms"])):
+            mode = spec.get("mode", "or")
+            if mode == "and" and len(terms) < len(set(spec["terms"])):
                 continue
-            res = _score_one_query(
-                per_term, terms, idf_by_term, dls, ext_ids, alive, avgdl,
-                int(spec.get("k", 10)), spec.get("mode", "or"), k1, b, R, decoded,
-            )
-            if res is None:
+            present = [t for t in terms if t in score_vec]
+            if not present or (mode == "and" and len(present) < len(terms)):
                 continue
-            ext, scores = res
+            acc = score_vec[present[0]].copy()
+            for t in present[1:]:
+                acc += score_vec[t]
+            hit = (acc > 0) & alive
+            if mode == "and":
+                nh = has_term[present[0]].astype(np.int8).copy()
+                for t in present[1:]:
+                    nh += has_term[t]
+                hit &= nh == len(present)
+            idxs = np.flatnonzero(hit)
+            if idxs.size == 0:
+                continue
+            k = int(spec.get("k", 10))
+            if idxs.size > k:
+                # keep every doc tied at the k-th score so the (score desc,
+                # ext_id asc) tie-break below stays exact
+                vals = acc[idxs]
+                kth = -np.partition(-vals, k - 1)[k - 1]
+                idxs = idxs[vals >= kth]
+            sel = np.lexsort((ext_ids[idxs], -acc[idxs]))[:k]
+            idxs = idxs[sel]
             out.append(
                 pd.DataFrame(
-                    {"query_id": qid, "segment_id": seg, "ext_id": ext, "score": scores}
+                    {"query_id": qid, "segment_id": seg,
+                     "ext_id": ext_ids[idxs], "score": acc[idxs]}
                 )
             )
         return pd.concat(out, ignore_index=True) if out else empty
@@ -519,16 +649,34 @@ def bm25_topk(
         if len(head) <= FILTER_BROADCAST_MAX:
             allowed_ext = np.sort(np.array([r[0] for r in head], dtype=np.int64))
             aux_filter = None
-    scorer = make_scorer(
-        list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
-        allowed_ext=allowed_ext, filter_active=aux_filter is not None,
+    # hot path: no tombstones, no blob-side filter, norms fit the broadcast
+    # budget → norms ride an executor-local broadcast; the query is ONE
+    # postings scan + ONE segment shuffle + scoring (one Spark job)
+    fast = (
+        aux_filter is None
+        and not _has_tombstones(spark, cat)
+        and n <= NORMS_BROADCAST_MAX_DOCS
     )
-    aux = _aux_df(spark, cat, aux_filter)
-    partials = (
-        postings.groupby("segment_id")
-        .cogroup(aux.groupby("segment_id"))
-        .applyInPandas(lambda _k, p, a: scorer(p, a), SCORE_SCHEMA)
-    )
+    if fast:
+        norms_bc = _norms_broadcast(spark, cat)
+        scorer = make_scorer(
+            list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
+            allowed_ext=allowed_ext, norms_bc=norms_bc,
+        )
+        partials = postings.groupby("segment_id").applyInPandas(
+            lambda p: scorer(p, None), SCORE_SCHEMA
+        )
+    else:
+        scorer = make_scorer(
+            list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
+            allowed_ext=allowed_ext, filter_active=aux_filter is not None,
+        )
+        aux = _aux_df(spark, cat, aux_filter)
+        partials = (
+            postings.groupby("segment_id")
+            .cogroup(aux.groupby("segment_id"))
+            .applyInPandas(lambda _k, p, a: scorer(p, a), SCORE_SCHEMA)
+        )
     return (
         partials.orderBy(F.desc("score"), F.asc("ext_id"))
         .limit(k)
@@ -559,16 +707,21 @@ def bm25_topk_batch(
     if n == 0 or not df_by_term:
         return spark.createDataFrame([], "query_id string, ext_id long, score double, rank int")
     idf_by_term = {t: idf(n, d) for t, d in df_by_term.items()}
-    scorer = make_batch_scorer(qspecs, idf_by_term, avgdl, cfg)
-    aux = _aux_df(spark, cat, None)
-    partials = (
-        postings.groupby("segment_id")
-        .cogroup(aux.groupby("segment_id"))
-        .applyInPandas(
-            lambda _k, p, a: scorer(p, a),
-            "query_id string, segment_id long, ext_id long, score double",
+    batch_schema = "query_id string, segment_id long, ext_id long, score double"
+    if not _has_tombstones(spark, cat) and n <= NORMS_BROADCAST_MAX_DOCS:
+        norms_bc = _norms_broadcast(spark, cat)
+        scorer = make_batch_scorer(qspecs, idf_by_term, avgdl, cfg, norms_bc=norms_bc)
+        partials = postings.groupby("segment_id").applyInPandas(
+            lambda p: scorer(p, None), batch_schema
         )
-    )
+    else:
+        scorer = make_batch_scorer(qspecs, idf_by_term, avgdl, cfg)
+        aux = _aux_df(spark, cat, None)
+        partials = (
+            postings.groupby("segment_id")
+            .cogroup(aux.groupby("segment_id"))
+            .applyInPandas(lambda _k, p, a: scorer(p, a), batch_schema)
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("ext_id"))
     k_of = {qid: int(s.get("k", 10)) for qid, s in qspecs.items()}
     k_map = F.create_map(*[x for qid, kk in k_of.items() for x in (F.lit(qid), F.lit(kk))])
@@ -618,22 +771,23 @@ def boolean_and(
         dls, ext_ids, tomb, allowed = _aux_arrays(a)
         if ext_ids is None:
             return empty
-        present = p.groupby("term", sort=False)
-        if len(present) < n_terms:
+        pt = _group_postings(p, set(terms))
+        if len(pt) < n_terms:
             return empty
         cur = None
         # smallest term first (by total n) to keep the running set tiny
-        sizes = p.groupby("term")["n"].sum().sort_values()
-        for t in sizes.index:
-            grp = p[p["term"] == t]
+        sizes = {t: int(g["n"].sum()) for t, g in pt.items()}
+        for t in sorted(pt, key=lambda t: sizes[t]):
+            g = pt[t]
             if cur is not None and cur.size == 0:
                 return empty
+            keep = np.arange(g["block_id"].size)
             if cur is not None:
                 lo, hi = cur.min(), cur.max()
-                grp = grp[(grp["last_doc"] >= lo) & (grp["first_doc"] <= hi)]
+                keep = np.flatnonzero((g["last_doc"] >= lo) & (g["first_doc"] <= hi))
             parts = [
-                np.cumsum(varint_decode(r.doc_deltas), dtype=np.int64)
-                for r in grp.itertuples()
+                np.cumsum(varint_decode(g["doc_deltas"][j]), dtype=np.int64)
+                for j in keep
             ]
             docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
             cur = docs if cur is None else np.intersect1d(cur, docs, assume_unique=True)

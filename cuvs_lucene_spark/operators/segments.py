@@ -417,10 +417,14 @@ def build_index(
             segdata = enriched.groupBy("segment_id").applyInPandas(
                 lambda pdf: build_segment_pdf(pdf, cfg), SEGDATA_SCHEMA
             )
+        # sort with kind + term leading so parquet row-group min/max stats
+        # prune the two query-side scans: postings lookups (kind='post',
+        # term_bucket/term IN ...) and the doc_map/norms/stats views each
+        # touch only their kind's row groups
         cat.write(
             segdata,
             "segdata",
-            sort_within_partitions=["segment_id", "kind", "term", "block_id", "doc_id"],
+            sort_within_partitions=["kind", "term_bucket", "term", "segment_id", "block_id", "doc_id"],
         )
         for name, (where, select) in SEGDATA_VIEWS.items():
             cat.define_view(name, "segdata", where, select)

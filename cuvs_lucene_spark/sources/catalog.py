@@ -105,6 +105,12 @@ class IndexCatalog:
         if sort_within_partitions:
             w = w.sortWithinPartitions(*sort_within_partitions)
         writer = w.write.mode("overwrite")
+        # small row groups: with sorted-within-partition data, parquet
+        # row-group min/max stats become an effective skip index for the
+        # pushed term/kind/segment filters — a selective query then reads
+        # a few MB instead of decompressing whole files (the same role
+        # file-level stats play in Iceberg)
+        writer = writer.option("parquet.block.size", 4 * 1024 * 1024)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
@@ -172,7 +178,9 @@ class IndexCatalog:
         n = ent["n"] + 1
         snap = f"snap-{n:06d}"
         out = os.path.join(self.root, table, snap)
-        df.write.mode("overwrite").parquet(out)
+        df.write.mode("overwrite").option(
+            "parquet.block.size", 4 * 1024 * 1024
+        ).parquet(out)
         ent["n"] = n
         ent["appends"] = [s for s in ent.get("appends", []) if s != prev] + [snap]
         if tag is not None:

@@ -84,7 +84,7 @@ def incremental_add(
     )
     segdata = enriched.groupBy("segment_id").applyInPandas(
         lambda pdf: build_segment_pdf(pdf, cfg), SEGDATA_SCHEMA
-    )
+    ).sortWithinPartitions("kind", "term_bucket", "term", "segment_id", "block_id", "doc_id")
     if not cat.exists("segdata"):
         # empty base snapshot + views, so every epoch (including the first)
         # lands as a tagged, replace-on-redelivery increment

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
 n_docs = int(os.environ["SCALING_DOCS"])
 spark = (SparkSession.builder.master(f"local[{cpus}]")
-    .config("spark.sql.shuffle.partitions", "64")   # identical plan at every level
+    .config("spark.sql.shuffle.partitions", "32")   # identical plan at every level
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     # tmpfs for shuffle + index output: the sandbox's shared disk has
@@ -66,7 +66,7 @@ build_sec = time.time() - t0
 vocab = ["def", "import", "return", "self", "class", "string", "public",
          "fn", "let", "const", "var", "func", "int", "new", "if", "for"]
 batch = {f"q{i}": {"terms": [vocab[i %% len(vocab)], f"func_{i*7 %% 500}"],
-                   "mode": "or", "k": 10} for i in range(128)}
+                   "mode": "or", "k": 10} for i in range(256)}
 t0 = time.time()
 nres = bm25_topk_batch(spark, cat, batch, cfg).count()
 query_cold_sec = time.time() - t0
@@ -83,7 +83,7 @@ print(json.dumps({"cpus": cpus, "build_sec": round(build_sec, 2),
                   "files_per_sec": round(n_docs / build_sec, 1),
                   "query_sec": round(query_sec, 2),
                   "query_cold_sec": round(query_cold_sec, 2),
-                  "qps": round(128 / query_sec, 2),
+                  "qps": round(256 / query_sec, 2),
                   "n_results": nres, "result_hash": rh}))
 import shutil; shutil.rmtree(tmp, ignore_errors=True)
 spark.stop()
@@ -91,10 +91,26 @@ spark.stop()
 
 
 def run_level(cpus: int, n_docs: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SCALING_DOCS=str(n_docs))
+    """One measurement at ``cpus`` parallelism, CPU-PINNED via taskset.
+
+    Pinning is what makes the N-vs-4N comparison honest: an unpinned
+    local[2] JVM still burns extra cores on GC/netty/IO helper threads and
+    numpy can grab BLAS threads, inflating the low-parallelism baseline
+    and understating scaling. A real N-executor cluster is hard-bounded to
+    N cores per node — taskset reproduces that boundary."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SCALING_DOCS=str(n_docs),
+        OPENBLAS_NUM_THREADS="1",
+        OMP_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
+    cmd = [sys.executable, "-c", WORKER % {"repo": REPO}]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", WORKER % {"repo": REPO}],
-        env=env, capture_output=True, text=True, timeout=1800,
+        cmd, env=env, capture_output=True, text=True, timeout=1800,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not line:
@@ -113,7 +129,7 @@ def summarize(runs: list[dict], n_docs: int) -> dict:
         build_sec=bs[0], build_sec_median=bs[len(bs) // 2],
         query_sec=qs[0], query_sec_median=qs[len(qs) // 2],
         files_per_sec=round(n_docs / bs[0], 1),
-        qps=round(128 / qs[0], 2),
+        qps=round(256 / qs[0], 2),
         n_runs=len(runs),
     )
     return out
@@ -150,7 +166,7 @@ def main():
 
 Workload: full inverted-index build over a {n_docs:,}-doc deterministic
 synthetic code corpus (input_hint schema, Zipf hot-term skew) + a
-128-query BM25 top-10 batch. IDENTICAL logical plan at both levels (same
+256-query BM25 top-10 batch. IDENTICAL logical plan at both levels (same
 input partitioning, same 64 shuffle partitions, same segmentation); only
 the executor-slot count differs — exactly what N vs 4N executors changes
 on a real cluster. {low['n_runs']} runs per level, INTERLEAVED across
@@ -166,7 +182,7 @@ the measurement reflects the engine, not the neighbors. BASELINE.md
 prescribes "two local parallelism levels (e.g. local[8] vs local[32])";
 2 vs 8 is the same 4x ratio.
 
-| parallelism | build sec (median) | build files/sec | 128-query batch sec (median) | QPS |
+| parallelism | build sec (median) | build files/sec | 256-query batch sec (median) | QPS |
 |---|---|---|---|---|
 | local[2] (N)  | {low['build_sec']} ({low['build_sec_median']}) | {low['files_per_sec']} | {low['query_sec']} ({low['query_sec_median']}) | {low['qps']} |
 | local[8] (4N) | {high['build_sec']} ({high['build_sec_median']}) | {high['files_per_sec']} | {high['query_sec']} ({high['query_sec_median']}) | {high['qps']} |
