@@ -391,36 +391,39 @@ def make_batch_scorer(
         n_docs = dls.size
         norm_denom = k1 * (1.0 - b + b * dls / avgdl)
 
-        # decode + score every term of the batch union ONCE
-        score_vec: dict[str, np.ndarray] = {}
-        has_term: dict[str, np.ndarray] = {}
+        # decode + score every term of the batch union ONCE, kept SPARSE:
+        # (doc ids, per-doc contribution). A query then touches only its
+        # own terms' arrays plus one n_docs accumulator — the working set
+        # stays cache-resident instead of streaming a dense per-term
+        # matrix through DRAM for every query (the memory-bandwidth wall
+        # that capped N→4N query scaling)
+        term_post: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t, p in _group_postings(postings, set(idf_by_term)).items():
             docs, tfs = _decode_term(p)
             tfs = tfs.astype(np.float64)
-            v = np.zeros(n_docs, dtype=np.float64)
-            v[docs] = idf_by_term[t] * tfs * (k1 + 1.0) / (tfs + norm_denom[docs])
-            score_vec[t] = v
-            m = np.zeros(n_docs, dtype=bool)
-            m[docs] = True
-            has_term[t] = m
+            contrib = idf_by_term[t] * tfs * (k1 + 1.0) / (tfs + norm_denom[docs])
+            term_post[t] = (docs, contrib)
 
-        out = []
+        q_out: list[np.ndarray] = []
+        e_out: list[np.ndarray] = []
+        s_out: list[np.ndarray] = []
         for qid, spec in qspecs.items():
             terms = [t for t in dict.fromkeys(spec["terms"]) if t in idf_by_term]
             mode = spec.get("mode", "or")
             if mode == "and" and len(terms) < len(set(spec["terms"])):
                 continue
-            present = [t for t in terms if t in score_vec]
+            present = [t for t in terms if t in term_post]
             if not present or (mode == "and" and len(present) < len(terms)):
                 continue
-            acc = score_vec[present[0]].copy()
-            for t in present[1:]:
-                acc += score_vec[t]
+            acc = np.zeros(n_docs, dtype=np.float64)
+            for t in present:
+                d, c = term_post[t]
+                acc[d] += c  # doc ids unique per term → plain fancy add
             hit = (acc > 0) & alive
             if mode == "and":
-                nh = has_term[present[0]].astype(np.int8).copy()
-                for t in present[1:]:
-                    nh += has_term[t]
+                nh = np.zeros(n_docs, dtype=np.int8)
+                for t in present:
+                    nh[term_post[t][0]] += 1
                 hit &= nh == len(present)
             idxs = np.flatnonzero(hit)
             if idxs.size == 0:
@@ -434,13 +437,19 @@ def make_batch_scorer(
                 idxs = idxs[vals >= kth]
             sel = np.lexsort((ext_ids[idxs], -acc[idxs]))[:k]
             idxs = idxs[sel]
-            out.append(
-                pd.DataFrame(
-                    {"query_id": qid, "segment_id": seg,
-                     "ext_id": ext_ids[idxs], "score": acc[idxs]}
-                )
-            )
-        return pd.concat(out, ignore_index=True) if out else empty
+            q_out.append(np.full(idxs.size, qid, dtype=object))
+            e_out.append(ext_ids[idxs])
+            s_out.append(acc[idxs])
+        if not q_out:
+            return empty
+        # ONE output frame per segment — 256 per-query DataFrame
+        # constructions were a measurable slice of the batch path
+        return pd.DataFrame(
+            {"query_id": np.concatenate(q_out),
+             "segment_id": np.int64(seg),
+             "ext_id": np.concatenate(e_out),
+             "score": np.concatenate(s_out)}
+        )
 
     return score_segment
 
