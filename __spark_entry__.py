@@ -304,6 +304,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda s, d: dd.simhash(_docs(s, d)).select(
         F.col("id").alias("doc_id"), "simhash"
     )
+    # pigeonhole-exact band join: bands > max_hamming ⇒ lossless candidates
+    q["simhash_near_dup"] = lambda s, d: dd.simhash_near_dup(
+        _docs(s, d), max_hamming=3, bands=4
+    )
     q["embedding_near_dup"] = lambda s, d: dd.embedding_near_dup(
         _embs(s, d), threshold=0.4
     )
@@ -515,6 +519,13 @@ bitsum AS (
 )
 SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
 FROM bitsum GROUP BY doc_id
+""".strip()
+    o["simhash_near_dup"] = f"""
+WITH s AS ({o["simhash"]})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """.strip()
     o["embedding_near_dup"] = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -39,7 +39,7 @@ def main():
     from cuvs_lucene_spark.fixtures import generate_documents_pdf
     from cuvs_lucene_spark.operators.ann import ann_topk, build_ann
     from cuvs_lucene_spark.operators.bm25 import bm25_topk
-    from cuvs_lucene_spark.operators.dedup import minhash_lsh_candidates, simhash
+    from cuvs_lucene_spark.operators.dedup import minhash_lsh_candidates, simhash, simhash_near_dup
     from cuvs_lucene_spark.operators.deletes import delete_by_term
     from cuvs_lucene_spark.operators.merge import merge_segments
     from cuvs_lucene_spark.operators.segments import build_index
@@ -181,6 +181,7 @@ def main():
     # --- pipeline ops ---
     timed("minhash_lsh", lambda: minhash_lsh_candidates(docs, n_perm=8, bands=2).count())
     timed("simhash", lambda: simhash(docs).count())
+    timed("simhash_near_dup", lambda: simhash_near_dup(docs, max_hamming=3, bands=4).count())
     timed("quality", lambda: quality_score(docs).count())
     from cuvs_lucene_spark.operators.dedup import embedding_near_dup
 

@@ -192,6 +192,68 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     )
 
 
+def simhash_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """EXACT SimHash near-duplicate pairs: all (id_a < id_b) with
+    hamming(simhash_a, simhash_b) ≤ ``max_hamming`` → (id_a, id_b, hamming).
+
+    Scale shape: the fingerprint is split into ``bands`` contiguous bit
+    bands; candidates are pairs agreeing on ≥1 band (equi-join on
+    (band, band_value) — a compact uniformly-distributed key), then the
+    exact hamming distance verifies. With ``bands > max_hamming`` this is
+    LOSSLESS by pigeonhole: ≤ max_hamming differing bits cannot touch all
+    bands, so every true pair shares at least one identical band. No
+    crossJoin anywhere; the result provably equals the all-pairs scan.
+    """
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for exact recall")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    bw = bits // bands
+    sh = simhash(docs, id_col, text_col, bits)
+    band_vals = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"shiftright(simhash, {i * bw})")
+                        .bitwiseAND(F.lit((1 << bw) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = band_vals.alias("a"), band_vals.alias("b")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def _cos_base(vectors: DataFrame, id_col: str, vector_col: str) -> DataFrame:
     vec64 = F.transform(F.col(vector_col), lambda v: v.cast("double"))
     norm = F.sqrt(

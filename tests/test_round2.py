@@ -239,6 +239,29 @@ def test_embedding_near_dup_lsh_full_recall(spark, vecs, np_vecs):
     assert got == exp
 
 
+def test_simhash_near_dup_pigeonhole_exact(spark):
+    """bands > max_hamming ⇒ the band equi-join is lossless: the result
+    must EQUAL the all-pairs hamming scan, not approximate it."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 150
+    )
+    fps = {r["id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    ids = sorted(fps)
+    exp = {
+        (ids[i], ids[j], bin(fps[ids[i]] ^ fps[ids[j]]).count("1"))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if bin(fps[ids[i]] ^ fps[ids[j]]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.simhash_near_dup(docs, max_hamming=3, bands=4).collect()
+    }
+    assert got == exp
+    with pytest.raises(ValueError, match="bands must exceed"):
+        dd.simhash_near_dup(docs, max_hamming=4, bands=4)
+
+
 # -------------------------------------------------------- grouped dense rank
 
 
