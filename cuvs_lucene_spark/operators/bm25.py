@@ -129,6 +129,11 @@ def _norms_broadcast(spark: SparkSession, cat: IndexCatalog):
         int(r["segment_id"]): (bytes(r["dls"]), bytes(r["ext_ids"])) for r in rows
     }
     bc = spark.sparkContext.broadcast(blobs)
+    if memo is not None:  # drop the superseded snapshot's broadcast blocks
+        try:
+            memo["bc"].unpersist()
+        except Exception:
+            pass
     cat._norms_memo = {"ver": ver, "bc": bc}
     return bc
 

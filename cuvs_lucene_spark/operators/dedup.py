@@ -279,38 +279,79 @@ def embedding_near_dup(
 ) -> DataFrame:
     """EXACT cosine-threshold near-duplicate pairs over an embedding column.
 
-    Distributed block-grid shape — never a BroadcastNestedLoopJoin: rows
-    hash into ``n_blocks`` blocks; the n_blocks·(n_blocks+1)/2 unordered
-    block pairs form a tiny driver-side relation; two EQUI-joins (block →
-    pair, pair → block) fan the data out so every block pair's cartesian
-    product is verified in its own bounded partition. Exact all-pairs work
-    is inherent to an exact threshold join (O(N²) comparisons), but the
-    plan is hash/sort-merge joins on compact keys with no driver-side
-    broadcast of the full table and no single fat partition. For high
-    thresholds at extreme scale, :func:`embedding_near_dup_lsh` prunes the
-    candidate space first and verifies with the identical expression.
+    Distributed block-matrix shape — never a BroadcastNestedLoopJoin: rows
+    hash into ``n_blocks`` blocks, each packed into one dense matrix; the
+    n_blocks·(n_blocks+1)/2 unordered block pairs form a tiny broadcast
+    relation; two EQUI-joins route each block pair's two packs into one
+    task, where the full cosine sub-matrix is ONE BLAS matmul. Exact
+    all-pairs work is inherent to an exact threshold join (O(N²) dot
+    products), but it runs as ~B²/2 balanced matrix multiplies on compact
+    join keys — no driver-side broadcast of the data, no single fat
+    partition, no per-row expression folds. For high thresholds at extreme
+    scale, :func:`embedding_near_dup_lsh` prunes candidates first.
     """
-    base = _cos_base(vectors, id_col, vector_col).withColumn(
-        "blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
-    )
-    pair_blocks = [
-        (ba, bb) for ba in range(n_blocks) for bb in range(n_blocks) if ba <= bb
-    ]
-    pb = vectors.sparkSession.createDataFrame(pair_blocks, "ba int, bb int")
-    a = base.alias("a").join(F.broadcast(pb), F.col("a.blk") == F.col("ba"))
-    joined = a.join(base.alias("b"), F.col("b.blk") == F.col("bb"))
-    return (
-        joined.filter(
-            (F.col("ba") < F.col("bb")) | (F.col("a.id") < F.col("b.id"))
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vector_col), lambda v: v.cast("double")).alias("v"),
+    ).withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack([np.asarray(v, np.float64) for v in pdf["v"].to_numpy()])[order]
+        return pd.DataFrame(
+            {"blk": [int(pdf["blk"].iloc[0])], "n": [np.int32(ids.size)],
+             "dim": [np.int32(m.shape[1])], "ids": [ids.tobytes()],
+             "mat": [m.tobytes()]}
         )
-        .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            (_pair_dot() / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+    packs = base.groupBy("blk").applyInPandas(
+        pack, "blk int, n int, dim int, ids binary, mat binary"
     )
+    pair_rows = [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b]
+    pairs = spark.createDataFrame(pair_rows, "ba int, bb int")
+    a_side = packs.select(
+        F.col("blk").alias("ba"), F.col("n").alias("na"), "dim",
+        F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a"),
+    )
+    b_side = packs.select(
+        F.col("blk").alias("bb"), F.col("n").alias("nb"),
+        F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b"),
+    )
+    j = a_side.join(F.broadcast(pairs), "ba").join(b_side, "bb")
+    thr = float(threshold)
+
+    def verify(it):
+        for pdf in it:
+            for r in pdf.itertuples():
+                ia = np.frombuffer(r.ids_a, np.int64)
+                ib = np.frombuffer(r.ids_b, np.int64)
+                ma = np.frombuffer(r.mat_a, np.float64).reshape(r.na, r.dim)
+                mb = np.frombuffer(r.mat_b, np.float64).reshape(r.nb, r.dim)
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                na[na == 0] = 1.0
+                nb[nb == 0] = 1.0
+                cosm = (ma @ mb.T) / np.outer(na, nb)
+                mask = cosm >= thr
+                if r.ba == r.bb:
+                    mask &= np.triu(np.ones_like(mask), k=1).astype(bool)
+                ii, jj = np.nonzero(mask)
+                if ii.size == 0:
+                    continue
+                aid, bid = ia[ii], ib[jj]
+                yield pd.DataFrame(
+                    {"id_a": np.minimum(aid, bid),
+                     "id_b": np.maximum(aid, bid),
+                     "cos": np.round(cosm[ii, jj], 6)}
+                )
+
+    return j.mapInPandas(verify, "id_a long, id_b long, cos double")
 
 
 def embedding_near_dup_lsh(
