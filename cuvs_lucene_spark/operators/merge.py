@@ -39,10 +39,18 @@ from cuvs_lucene_spark.functions.varint import varint_decode, varint_encode
 from cuvs_lucene_spark.operators.segments import (
     NORMS_SCHEMA,
     POSTINGS_SCHEMA,
+    SEGDATA_VIEWS,
     build_norms_pdf,
     grouped_dense_rank,
+    to_segdata,
 )
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+# merged-segment id namespace: gen * 2^16 + group index above 2^42 —
+# disjoint from the range (≪ 2^40), partition ([2^40, 2^41)) and streaming
+# ([2^41, ~2^42)) namespaces, and NEVER reuses a dropped id (ids must be
+# fresh because merged-away segments are dropped logically, not rewritten)
+MERGE_BASE = 1 << 42
 
 PARTIAL_SCHEMA = (
     "gkey long, term string, term_bucket int, salt int, "
@@ -200,6 +208,13 @@ def merge_segments(
     a hierarchical merge down to one segment). Returns {gkey: new_segment_id}.
     """
     cfg = cfg or IndexConfig()
+    m0 = cat.read_manifest()
+    sd_ent = m0["tables"].get("segdata")
+    if sd_ent is None or not m0["tables"].get("postings", {}).get("view"):
+        raise ValueError(
+            "incremental merge requires the unified segdata layout "
+            "(postings/doc_map/... as views of segdata)"
+        )
     seg_ids = sorted(
         r["segment_id"] for r in cat.read(spark, "segment_stats").select("segment_id").collect()
     )
@@ -211,7 +226,10 @@ def merge_segments(
     if not groups:
         return {}
     gkey_of = {int(s): gi for gi, g in enumerate(groups) for s in g}
-    newseg = {gi: int(min(g)) for gi, g in enumerate(groups)}
+    gen = int(sd_ent.get("merge_gen", 0)) + 1
+    if len(groups) >= (1 << 16):
+        raise ValueError("too many merge groups in one pass")
+    newseg = {gi: MERGE_BASE + (gen << 16) + gi for gi in range(len(groups))}
     merged_segs = sorted(gkey_of)
     salt = cfg.salt_factor
 
@@ -264,14 +282,12 @@ def merge_segments(
         _stage2_fn(newseg, cfg.block_size), POSTINGS_SCHEMA
     )
 
-    # --- rewrite tables via snapshot commits
-    keep_postings = postings.filter(~F.col("segment_id").isin(merged_segs))
-    cat.write(
-        keep_postings.unionByName(new_postings).repartition(cfg.term_buckets, "term_bucket"),
-        "postings",
-        sort_within_partitions=["term_bucket", "term", "segment_id", "block_id"],
-    )
-
+    # --- commit: ONE tagged segdata append holding ALL of the merged
+    # segments' kind-tagged rows, with the merged-away segment ids dropped
+    # LOGICALLY in the same manifest write. Merge cost is proportional to
+    # the merged segments only — untouched segments are never rewritten
+    # (the Lucene segment-file / Iceberg delete-manifest model); a later
+    # rewrite_segdata() compaction reclaims the dropped bytes.
     newseg_df = spark.createDataFrame(
         [(int(g), int(s)) for g, s in newseg.items()], "gkey long, segment_id long"
     )
@@ -279,32 +295,42 @@ def merge_segments(
         ndm.join(F.broadcast(newseg_df), "gkey")
         .select("segment_id", F.col("new_doc_id").alias("doc_id"), "ext_id", "sha256", "dl")
     )
-    keep_docmap = dm.filter(~F.col("segment_id").isin(merged_segs))
-    cat.write(
-        keep_docmap.unionByName(new_docmap).repartition("segment_id"),
-        "doc_map",
-        sort_within_partitions=["segment_id", "doc_id"],
-    )
-
-    dm2 = cat.read(spark, "doc_map")
-    norms = dm2.groupBy("segment_id").applyInPandas(build_norms_pdf, NORMS_SCHEMA)
-    cat.write(norms, "norms")
-
-    p2 = cat.read(spark, "postings")
-    terms = p2.groupBy("segment_id", "term").agg(
+    new_norms = new_docmap.groupBy("segment_id").applyInPandas(build_norms_pdf, NORMS_SCHEMA)
+    new_terms = new_postings.groupBy("segment_id", "term").agg(
         F.sum("n").cast("int").alias("df"), F.sum("sum_tf").alias("cf")
     )
-    cat.write(terms, "terms", sort_within_partitions=["term"])
-    seg_stats = dm2.groupBy("segment_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("n_tokens"),
-        F.avg("dl").alias("avgdl"),
+    new_stats = new_docmap.groupBy("segment_id").agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("n_tokens")
     )
-    cat.write(seg_stats, "segment_stats")
+    seg_rows = (
+        to_segdata(new_postings, "post", {c: c for c in (
+            "segment_id", "term", "term_bucket", "block_id", "first_doc",
+            "last_doc", "n", "max_tf", "sum_tf", "doc_deltas", "tfs")})
+        .unionByName(to_segdata(new_docmap, "doc", {
+            "segment_id": "segment_id", "doc_id": "doc_id", "ext_id": "ext_id",
+            "sha256": "sha256", "dl": "dl"}))
+        .unionByName(to_segdata(new_norms, "norms", {
+            "segment_id": "segment_id", "n": "n_docs",
+            "doc_deltas": "dls", "tfs": "ext_ids"}))
+        .unionByName(to_segdata(new_terms, "term", {
+            "segment_id": "segment_id", "term": "term", "n": "df", "sum_tf": "cf"}))
+        .unionByName(to_segdata(new_stats, "stats", {
+            "segment_id": "segment_id", "n": "n_docs", "sum_tf": "n_tokens"}))
+    ).sortWithinPartitions("kind", "term_bucket", "term", "segment_id", "block_id", "doc_id")
+    prev_dropped = set(sd_ent.get("dropped_segments", []))
+    dropped = sorted(prev_dropped | {int(s) for s in merged_segs})
+    cat.append(
+        seg_rows,
+        "segdata",
+        tag=f"merge_gen_{gen}",
+        extra_entry={"dropped_segments": dropped, "merge_gen": gen},
+    )
+    cat.define_views(SEGDATA_VIEWS, "segdata")
 
     # tombstones referencing physically-dropped docs are cleared (M5);
     # the row count rides the manifest so queries skip the isEmpty job
     if tomb is not None:
+        dm2 = cat.read(spark, "doc_map")
         remaining = tomb.join(dm2, "ext_id", "left_semi").cache()
         n_tomb = remaining.count()
         cat.write(remaining, "tombstones", lineage={"n": n_tomb})
@@ -324,6 +350,26 @@ def merge_segments(
     ndm.unpersist()
     unpersist_rank()
     return newseg
+
+
+def rewrite_segdata(spark: SparkSession, cat: IndexCatalog) -> None:
+    """Compaction: materialize the current logical segdata state (appends
+    folded in, dropped segments physically removed) into ONE fresh
+    snapshot — reclaims merged-away bytes and resets the drop list, like
+    Iceberg's rewrite_data_files or Lucene's eventual file deletion."""
+    gen = int(
+        cat.read_manifest()["tables"].get("segdata", {}).get("merge_gen", 0)
+    )
+    current = cat.read(spark, "segdata")
+    cat.write(
+        current,
+        "segdata",
+        sort_within_partitions=["kind", "term_bucket", "term", "segment_id", "block_id", "doc_id"],
+        # keep the merge generation monotone: a post-compaction merge must
+        # never mint an id that a still-live earlier-generation segment holds
+        extra_entry={"merge_gen": gen},
+    )
+    cat.define_views(SEGDATA_VIEWS, "segdata")
 
 
 def force_merge(spark: SparkSession, cat: IndexCatalog, cfg: IndexConfig | None = None) -> None:

@@ -87,6 +87,32 @@ SEGDATA_VIEWS: dict[str, tuple[str, list[str]]] = {
 }
 
 
+_SEGDATA_COLS: list[tuple[str, str]] = [
+    ("segment_id", "long"), ("kind", "string"), ("term", "string"),
+    ("term_bucket", "int"), ("block_id", "int"), ("first_doc", "int"),
+    ("last_doc", "int"), ("n", "int"), ("max_tf", "int"), ("sum_tf", "long"),
+    ("doc_deltas", "binary"), ("tfs", "binary"), ("doc_id", "int"),
+    ("ext_id", "long"), ("sha256", "string"), ("dl", "int"),
+]
+
+
+def to_segdata(df: DataFrame, kind: str, mapping: dict[str, str]) -> DataFrame:
+    """Project a logical-table DataFrame back into kind-tagged SEGDATA rows
+    (the inverse of the SEGDATA_VIEWS projections). ``mapping`` maps
+    segdata column → source column; everything else becomes a typed NULL.
+    Used by the incremental merge to append merged segments in the same
+    unified layout the build writes."""
+    cols = []
+    for name, typ in _SEGDATA_COLS:
+        if name == "kind":
+            cols.append(F.lit(kind).alias("kind"))
+        elif name in mapping:
+            cols.append(F.col(mapping[name]).cast(typ).alias(name))
+        else:
+            cols.append(F.lit(None).cast(typ).alias(name))
+    return df.select(*cols)
+
+
 def term_bucket_py(term: str, n_buckets: int) -> int:
     """Deterministic term → partition bucket (crc32 — stable across runs)."""
     return zlib.crc32(term.encode("utf-8")) % n_buckets

@@ -92,6 +92,7 @@ class IndexCatalog:
         partition_by: list[str] | None = None,
         sort_within_partitions: list[str] | None = None,
         lineage: dict[str, Any] | None = None,
+        extra_entry: dict | None = None,
     ) -> str:
         """Write ``df`` as a NEW snapshot of ``table`` and commit atomically."""
         m = self.read_manifest()
@@ -123,6 +124,7 @@ class IndexCatalog:
             "history": hist[-5:],
             "committed_at": time.time(),
             "lineage": lineage or {},
+            **(extra_entry or {}),
         }
         self._write_manifest(m)
         # prune snapshots that fell off the retained history
@@ -155,9 +157,34 @@ class IndexCatalog:
         dirs = self.table_dirs(table)
         if not dirs:
             raise FileNotFoundError(f"table {table!r} not committed in {self.root}")
-        return spark.read.parquet(*dirs)
+        df = spark.read.parquet(*dirs)
+        # logical segment drops (incremental merge): merged-away segments
+        # stay on disk until a compaction rewrite but are filtered at every
+        # read — the Lucene deleted-segment / Iceberg delete-manifest model
+        dropped = ent.get("dropped_segments") if ent else None
+        if dropped:
+            df = df.filter(~df["segment_id"].isin([int(x) for x in dropped]))
+        return df
 
-    def append(self, df: DataFrame, table: str, tag: str | None = None) -> str:
+    def define_views(self, views: dict, of_table: str) -> None:
+        """Register several views in ONE atomic manifest commit (used by
+        merge so the view set can never be observed half-updated)."""
+        m = self.read_manifest()
+        for name, (where, select) in views.items():
+            m["tables"][name] = {
+                "view": {"of": of_table, "where": where, "select": select},
+                "snapshot": None,
+                "n": m["tables"].get(name, {}).get("n", 0),
+            }
+        self._write_manifest(m)
+
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        tag: str | None = None,
+        extra_entry: dict | None = None,
+    ) -> str:
         """Append an increment to ``table`` (streaming micro-batch epochs).
         New directory + atomic manifest commit; a later full ``write``
         collapses increments into one snapshot.
@@ -186,6 +213,10 @@ class IndexCatalog:
         if tag is not None:
             tags[tag] = snap
             ent["append_tags"] = tags
+        if extra_entry:
+            # e.g. dropped_segments: committed in the SAME manifest write as
+            # the new increment, so merged data and its drops flip together
+            ent.update(extra_entry)
         ent["committed_at"] = time.time()
         self._write_manifest(m)  # commit point: new increment visible, old gone
         if prev:

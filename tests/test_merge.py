@@ -126,10 +126,36 @@ def test_deleted_never_returned_and_all_deleted_zero_hits(spark, built):
 
 
 def test_partial_merge_group(spark, built):
-    """Merging a subset of segments leaves others untouched and queries exact."""
+    """Merging a subset of segments leaves others untouched and queries
+    exact. Merged segments get FRESH ids (append + logical drop — ids are
+    never reused because dropped ids stay excluded at read time)."""
+    from cuvs_lucene_spark.operators.merge import MERGE_BASE
+
     docs, cat = built
     newseg = merge_segments(spark, cat, CFG, groups=[[0, 1, 2], [3, 4]])
-    assert set(newseg.values()) == {0, 3}
-    assert cat.read(spark, "segment_stats").count() == 10 - 5 + 2
+    assert len(newseg) == 2
+    assert all(s >= MERGE_BASE for s in newseg.values())
+    live_segs = {r["segment_id"] for r in cat.read(spark, "segment_stats").collect()}
+    assert len(live_segs) == 10 - 5 + 2
+    assert set(newseg.values()) <= live_segs
+    assert not ({0, 1, 2, 3, 4} & live_segs)  # merged-away ids are gone
     exp = [(i, round(s, 6)) for i, s in _duck(bm25_sql(["join", "vector"], k=10))]
     assert _topk(spark, cat, ["join", "vector"]) == exp
+
+
+def test_rewrite_segdata_compaction(spark, built):
+    """Compaction folds appends + drops into one snapshot with identical
+    observable content and an empty drop list."""
+    from cuvs_lucene_spark.operators.merge import rewrite_segdata
+
+    docs, cat = built
+    delete_by_term(spark, cat, "dup", CFG)
+    force_merge(spark, cat, CFG)
+    before = _topk(spark, cat, ["join", "vector"])
+    post_before = _decoded_postings(spark, cat)
+    rewrite_segdata(spark, cat)
+    ent = cat.read_manifest()["tables"]["segdata"]
+    assert not ent.get("dropped_segments")
+    assert not ent.get("appends")
+    assert _topk(spark, cat, ["join", "vector"]) == before
+    assert _decoded_postings(spark, cat) == post_before
