@@ -373,10 +373,19 @@ def rewrite_segdata(spark: SparkSession, cat: IndexCatalog) -> None:
 
 
 def force_merge(spark: SparkSession, cat: IndexCatalog, cfg: IndexConfig | None = None) -> None:
-    """``forceMerge(1)`` analogue: hierarchical merge until one segment."""
+    """``forceMerge(1)`` analogue: hierarchical merge until one segment,
+    then a physical compaction — forceMerge IS Lucene's full-optimize, so
+    the dropped bytes accumulated by the incremental merges are reclaimed
+    here (partial/tiered merges stay append-only and compact lazily)."""
     cfg = cfg or IndexConfig()
+    merged_any = False
     while True:
         n = cat.read(spark, "segment_stats").count()
         if n <= 1:
-            return
+            break
         merge_segments(spark, cat, cfg)
+        merged_any = True
+    if merged_any and cat.read_manifest()["tables"].get("segdata", {}).get(
+        "dropped_segments"
+    ):
+        rewrite_segdata(spark, cat)

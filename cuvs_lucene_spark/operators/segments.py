@@ -507,6 +507,12 @@ def grouped_dense_rank(
     offsets, and each partition computes ``offset + local_position``
     map-side (zero further shuffle). Returns ``(ranked_df, unpersist)``;
     call ``unpersist()`` after the ranked output has been fully consumed.
+
+    Fault-tolerance note: MEMORY_AND_DISK persistence pins partition
+    membership against eviction; on a real cluster where an EXECUTOR LOSS
+    can force lineage recomputation (which would re-sample boundaries),
+    swap the persist for ``df.localCheckpoint()`` — same plan, fully
+    severed lineage.
     """
     import pyspark.sql.types as T
     from pyspark import StorageLevel, TaskContext
