@@ -324,9 +324,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id",
         textstats.token_count_expr("text").alias("n_tokens"),
         textstats.whitespace_token_count_expr("text").alias("n_ws_tokens"),
+        textstats.subword_count_expr("text").alias("n_subwords"),
     )
     q["doc_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d)).select(
         F.col("id").alias("doc_id"), "fingerprint"
+    )
+    # rolling-hash winnowing fingerprints (MOSS): one row per selected hash
+    q["winnow_fingerprint"] = lambda s, d: textstats.winnow_fingerprints(
+        _docs(s, d), k=7, w=8
     )
     return q
 
@@ -574,13 +579,31 @@ SELECT doc_id, n_tokens,
       + 0.25 * (CASE WHEN txt_len > 0 THEN alnum_chars * 1.0 / txt_len ELSE 0.0 END), 6) AS quality
 FROM x
 """.strip()
+    subword_sql = r"'''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s'']+'"
     o["token_counts"] = f"""
 SELECT doc_id,
        len({_TOK}) AS n_tokens,
-       CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), {subword_sql}, 0)) AS n_subwords
 FROM documents
 """.strip()
     o["doc_fingerprint"] = f"""
 SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fingerprint FROM documents
+""".strip()
+    wk, ww = 7, 8
+    gram = f"('0x' || substr(md5(array_to_string(tok[j : j + {wk - 1}], ' ')), 1, 8))::BIGINT"
+    o["winnow_fingerprint"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+fps AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) >= {wk + ww - 1} THEN
+      list_sort(list_distinct(list_transform(generate_series(1, len(tok) - {wk + ww - 2}),
+        i -> list_aggregate(list_transform(generate_series(i, i + {ww - 1}),
+             j -> {gram}), 'min'))))
+    ELSE [('0x' || substr(md5(array_to_string(tok, ' ')), 1, 8))::BIGINT]
+    END AS f
+  FROM t
+)
+SELECT doc_id AS id, unnest(f) AS fp FROM fps
 """.strip()
     return o

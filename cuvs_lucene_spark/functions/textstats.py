@@ -97,3 +97,53 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col).alias("id"),
         F.md5(F.array_join(tokenize_expr(text_col), " ")).alias("fingerprint"),
     )
+
+
+# BPE-ish subword segmentation (GPT-2-style pattern, lookahead-free so the
+# SAME regex runs under Java regex (Spark) and RE2 (DuckDB)): contraction
+# suffixes, letter runs, digit runs, and non-alnum-non-space runs each
+# count as one subword unit.
+SUBWORD_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s']+"
+
+
+def subword_count_expr(text_col: str):
+    """BPE-ish subword-unit count (deterministic tokenizer proxy for
+    budget estimation in training-data pipelines). The pattern rides a
+    ``lit`` column, not a SQL string literal — SQL escaping would silently
+    strip the ``\\s`` class."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(SUBWORD_PATTERN), F.lit(0)
+        )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 7,
+    w: int = 8,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by WINNOWING (Schleimer et al.,
+    the MOSS algorithm): hash every k-token gram, slide a window of w
+    consecutive gram hashes, keep each window's minimum — the selected
+    hash set is a position-robust fingerprint with guaranteed detection of
+    matches ≥ w+k-1 tokens. Pure Catalyst higher-order functions (no UDF);
+    docs shorter than k+w-1 tokens fall back to one whole-document hash.
+    Output: one row per (id, fp) — sorted distinct selected hashes."""
+    tok = f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)"
+    gram_hash = (
+        f"CAST(conv(substring(md5(concat_ws(' ', slice({tok}, j, {k}))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    fps = f"""
+CASE WHEN size({tok}) >= {k + w - 1} THEN
+  sort_array(array_distinct(
+    transform(sequence(1, size({tok}) - {k + w - 2}),
+      i -> array_min(transform(sequence(i, i + {w - 1}), j -> {gram_hash})))))
+ELSE array(CAST(conv(substring(md5(concat_ws(' ', {tok})), 1, 8), 16, 10) AS BIGINT))
+END
+""".strip()
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(fps)).alias("fp")
+    )

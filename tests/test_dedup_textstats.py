@@ -65,3 +65,33 @@ def test_quality_monotone_sanity(spark, corpus):
     assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
     long_docs = [r for r in rows if r["n_tokens"] >= 10]
     assert all(r["quality"] >= 0.25 for r in long_docs)  # len_ok component
+
+
+def test_winnow_guarantee_and_subwords(spark):
+    """Winnowing guarantee (MOSS): two docs sharing a run of ≥ w+k-1
+    tokens select at least one common fingerprint; disjoint docs share
+    none. Subword counts follow the frozen BPE-ish segmentation."""
+    from cuvs_lucene_spark.functions.textstats import (
+        SUBWORD_PATTERN,
+        subword_count_expr,
+        winnow_fingerprints,
+    )
+    import re
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
+    rows = [
+        (0, "prefix one two three " + shared + " suffix red blue"),
+        (1, shared + " totally different tail words here now ok"),
+        (2, "unrelated text with zero overlap at all whatsoever in any way"),
+        (3, "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(docs, k=7, w=8).collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared >= w+k-1 token run must share a fingerprint"
+    assert not (fps[0] & fps[2])
+    assert len(fps[3]) == 1  # short-doc fallback: one whole-doc hash
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", subword_count_expr("text").alias("n")).collect()}
+    for i, txt in rows:
+        assert got[i] == len(re.findall(SUBWORD_PATTERN, txt.lower()))
