@@ -103,6 +103,10 @@ def _ann_index(spark: SparkSession, sf_dir: str):
         from cuvs_lucene_spark.operators.ann_graph import build_ann_graph
 
         build_ann_graph(spark, cat, CFG)
+    if not cat.stage_done("ann_pq"):
+        from cuvs_lucene_spark.operators.ann import build_ann_pq
+
+        build_ann_pq(spark, cat, CFG)
     _CATS[key] = cat
     return cat
 
@@ -234,6 +238,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         __import__(
             "cuvs_lucene_spark.operators.ann_graph", fromlist=["ann_topk_graph"]
         ).ann_topk_graph(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG)
+        .select(F.col("ext_id").alias("vec_id")),
+        ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
+                 cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
+    )
+    # product-quantization ADC scan + exact rerank (the structure behind
+    # the reference's pqDim/pqBits heuristics, CagraIndexParamsFactory)
+    q["ann_pq_l2"] = lambda s, d: _contain(
+        __import__(
+            "cuvs_lucene_spark.operators.ann", fromlist=["ann_topk_pq"]
+        ).ann_topk_pq(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG)
         .select(F.col("ext_id").alias("vec_id")),
         ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
                  cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
@@ -438,6 +452,7 @@ SELECT CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_returne
     o["ann_ivf_l2"] = _contain10
     o["ann_sq_l2"] = _contain10
     o["ann_graph_l2"] = _contain10
+    o["ann_pq_l2"] = _contain10
     o["knn_join_ivf"] = """
 SELECT vec_id AS q_id, CAST(3 AS BIGINT) AS n_returned, CAST(3 AS BIGINT) AS n_contained
 FROM embeddings WHERE vec_id < 20

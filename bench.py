@@ -166,9 +166,11 @@ def main():
     )
     timed("ann_exact", lambda: ann_topk(spark, acat, q0, k=10, cfg=cfg, mode="exact").collect())
     timed("ann_ivf", lambda: ann_topk(spark, acat, q0, k=10, cfg=cfg, mode="ivf").collect())
-    from cuvs_lucene_spark.operators.ann import ann_topk_sq, knn_join_ivf
+    from cuvs_lucene_spark.operators.ann import ann_topk_pq, ann_topk_sq, build_ann_pq, knn_join_ivf
 
     timed("ann_sq", lambda: ann_topk_sq(spark, acat, q0, k=10, cfg=cfg).collect())
+    timed("ann_pq_build", lambda: build_ann_pq(spark, acat, cfg))
+    timed("ann_pq", lambda: ann_topk_pq(spark, acat, q0, k=10, cfg=cfg).collect())
     from cuvs_lucene_spark.operators.ann_graph import ann_topk_graph, build_ann_graph
 
     timed("ann_graph_build", lambda: build_ann_graph(spark, acat, cfg))

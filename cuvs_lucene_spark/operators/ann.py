@@ -37,6 +37,10 @@ from cuvs_lucene_spark.sources.catalog import IndexCatalog
 ANN_FORMAT_VERSION = 2  # v2: centroid rows carry n_total; bf-fallback list in manifest
 
 FLAT_SCHEMA = "segment_id long, n_vecs int, dim int, ext_ids binary, vectors binary"
+PQ_SCHEMA = (
+    "segment_id long, n_vecs int, dim int, pq_dim int, pq_bits int, "
+    "codebook binary, codes binary"
+)
 SQ_SCHEMA = "segment_id long, n_vecs int, dim int, mins binary, maxs binary, codes binary"
 BQ_SCHEMA = "segment_id long, n_vecs int, dim int, centroid binary, codes binary"
 IVF_SCHEMA = (
@@ -527,6 +531,127 @@ def ann_topk_bq(
         partials.orderBy(F2.asc("hamming"), F2.asc("ext_id"))
         .limit(k)
         .select("ext_id", "hamming")
+    )
+
+
+def build_ann_pq(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg: IndexConfig | None = None,
+) -> None:
+    """Product-quantization codes — the structure the reference's derived
+    IVF-PQ parameters describe (``CagraIndexParamsFactory.java:31-93``:
+    pqDim bucketed by dim, pqBits 8 for dim≤32 else 4; consumed on the GPU
+    inside cuVS, re-expressed here as explicit per-segment codebooks).
+
+    Per segment (from the committed flat storage, M4): the vector space is
+    split into ``pq_dim`` contiguous subspaces; each subspace gets its own
+    deterministic k-means codebook of 2^pq_bits centroids; every vector is
+    stored as pq_dim uint8 centroid ids. Search (:func:`ann_topk_pq`) is
+    the classic ADC scan: one (pq_dim × 2^bits) lookup table per query,
+    approximate distance = sum of per-subspace LUT entries."""
+    cfg = cfg or IndexConfig()
+    seed = cfg.ann.seed
+    iters = cfg.ann.kmeans_iters
+
+    def build(it):
+        for pdf in it:
+            for r in pdf.itertuples():
+                x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                n, dim = x.shape
+                p = ivf_pq_params(n, dim)
+                pq_dim, bits = p["pq_dim"], p["pq_bits"]
+                if dim % pq_dim:
+                    pq_dim = dim  # fall back to 1-dim subspaces
+                sub = dim // pq_dim
+                k_cb = min(1 << bits, n)
+                books = np.empty((pq_dim, 1 << bits, sub), np.float32)
+                codes = np.empty((n, pq_dim), np.uint8)
+                for s in range(pq_dim):
+                    xs = x[:, s * sub : (s + 1) * sub]
+                    cents = _kmeans(xs, k_cb, iters, seed + s, 1.0)
+                    d = (
+                        -2.0 * xs @ cents.T
+                        + (cents**2).sum(1)[None, :]
+                    )
+                    codes[:, s] = d.argmin(1).astype(np.uint8)
+                    books[s, :k_cb] = cents
+                    if k_cb < (1 << bits):
+                        books[s, k_cb:] = cents[0]  # pad unused slots
+                yield pd.DataFrame(
+                    {
+                        "segment_id": [r.segment_id],
+                        "n_vecs": [np.int32(n)],
+                        "dim": [np.int32(dim)],
+                        "pq_dim": [np.int32(pq_dim)],
+                        "pq_bits": [np.int32(bits)],
+                        "codebook": [books.tobytes()],
+                        "codes": [codes.tobytes()],
+                    }
+                )
+
+    cat.write(cat.read(spark, "ann_flat").mapInPandas(build, PQ_SCHEMA), "ann_pq")
+    cat.mark_stage("ann_pq")
+
+
+def ann_topk_pq(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    rerank_factor: int = 3,
+) -> DataFrame:
+    """PQ ADC search: per segment, build the (pq_dim × 2^bits) query LUT,
+    score all codes with one fancy-index sum, take the coarse top
+    ``k·rerank_factor``, rescore those EXACTLY from the flat storage in
+    the same cogrouped pass. Approximate → containment-validated; returned
+    scores are exact 1/(1+d) L2."""
+    cfg = cfg or IndexConfig()
+    _validate_metric(cat, "l2")
+    q = np.asarray(query, dtype=np.float32)
+    if k <= 0:
+        return spark.createDataFrame([], "ext_id long, score double")
+    m_coarse = k * max(1, rerank_factor)
+
+    def scan(key, pqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
+            {"segment_id": "int64", "ext_id": "int64", "score": "float64"}
+        )
+        if pqp.empty or fp.empty:
+            return empty
+        r = pqp.iloc[0]
+        n, dim = int(r["n_vecs"]), int(r["dim"])
+        pq_dim, bits = int(r["pq_dim"]), int(r["pq_bits"])
+        sub = dim // pq_dim
+        books = np.frombuffer(r["codebook"], np.float32).reshape(pq_dim, 1 << bits, sub)
+        codes = np.frombuffer(r["codes"], np.uint8).reshape(n, pq_dim)
+        q64 = q.astype(np.float64)
+        # ADC lookup table: squared L2 from each query subvector to every
+        # centroid of its subspace
+        qsub = q64.reshape(pq_dim, sub)
+        lut = ((books.astype(np.float64) - qsub[:, None, :]) ** 2).sum(2)  # (pq_dim, K)
+        approx = lut[np.arange(pq_dim)[None, :], codes].sum(1)  # (n,)
+        fr = fp.iloc[0]
+        x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
+        ids = np.frombuffer(fr["ext_ids"], np.int64)
+        cand = np.argsort(approx, kind="stable")[:m_coarse]
+        s = _scores(x[cand], q, "l2")
+        top = np.argsort(-s, kind="stable")[:k]
+        return pd.DataFrame(
+            {"segment_id": int(r["segment_id"]), "ext_id": ids[cand][top], "score": s[top]}
+        )
+
+    partials = (
+        cat.read(spark, "ann_pq")
+        .groupby("segment_id")
+        .cogroup(cat.read(spark, "ann_flat").groupby("segment_id"))
+        .applyInPandas(scan, TOPK_SCHEMA)
+    )
+    return (
+        partials.orderBy(F.desc("score"), F.asc("ext_id"))
+        .limit(k)
+        .select("ext_id", "score")
     )
 
 

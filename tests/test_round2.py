@@ -160,6 +160,30 @@ def test_knn_join_ivf_matches_exact_at_full_probe(spark, acat, vecs, np_vecs):
     assert got == exp
 
 
+def test_pq_adc_containment_and_exact_rescore(spark, acat, np_vecs):
+    """PQ codes (the reference's pqDim/pqBits heuristics made concrete):
+    ADC coarse scan contained in exact top-3k, returned scores exactly
+    rescored from flat storage; codes deterministic across rebuilds."""
+    from cuvs_lucene_spark.operators.ann import ann_topk_pq, build_ann_pq
+
+    ids, x = np_vecs
+    build_ann_pq(spark, acat, CFG)
+    q = x[11]
+    got = [(r["ext_id"], r["score"]) for r in ann_topk_pq(spark, acat, q, k=10, cfg=CFG).collect()]
+    exact = _exact_l2(ids, x, q, 30)
+    assert len(got) == 10
+    assert {i for i, _ in got} <= {i for i, _ in exact}
+    exact_score = dict(exact)
+    for i, s in got:
+        assert abs(s - exact_score[i]) < 1e-9
+    # deterministic rebuild: identical codes blob
+    row = acat.read(spark, "ann_pq").filter(F.col("segment_id") == 0).collect()[0]
+    build_ann_pq(spark, acat, CFG)
+    row2 = acat.read(spark, "ann_pq").filter(F.col("segment_id") == 0).collect()[0]
+    assert bytes(row["codes"]) == bytes(row2["codes"])
+    assert bytes(row["codebook"]) == bytes(row2["codebook"])
+
+
 def test_multi_field_ann_with_gaps(spark, vecs, np_vecs, tmp_path):
     """Per-field indexes (TestCuVSVectorsFormat.java:82-119) with gap
     semantics (TestCuVSGaps.java:83-94): docs lacking a field are never
