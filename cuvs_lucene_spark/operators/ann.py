@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuvs_lucene_spark.config import AnnParams, IndexConfig, choose_build_algo, ivf_pq_params
+from cuvs_lucene_spark.config import AnnParams, IndexConfig, ivf_pq_params
 from cuvs_lucene_spark.functions.quantize import scalar_dequantize, scalar_quantize, widen_unsigned
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 

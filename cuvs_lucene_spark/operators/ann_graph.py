@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuvs_lucene_spark.config import IndexConfig
+from cuvs_lucene_spark.config import IndexConfig, choose_build_algo
 from cuvs_lucene_spark.functions.varint import varint_decode, varint_encode
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
@@ -86,6 +86,14 @@ def build_ann_graph(
             for r in pdf.itertuples():
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
                 n = x.shape[0]
+                # O1 size-based algorithm switch (CagraIndexParamsFactory
+                # heuristic): below the threshold the dense exact kNN graph
+                # is the NN_DESCENT stand-in; at/above it the reference
+                # routes the build through IVF_PQ — served here by the
+                # ann_ivf/ann_pq sidecars, so oversized segments simply
+                # skip the graph (search falls back per-leaf)
+                if choose_build_algo(n) != "NN_DESCENT":
+                    continue
                 if n < 2:
                     # single-node graph (B13 single-vector fallback)
                     yield pd.DataFrame(
