@@ -143,6 +143,31 @@ def test_partial_merge_group(spark, built):
     assert _topk(spark, cat, ["join", "vector"]) == exp
 
 
+def test_merge_crash_before_commit_is_invisible_and_retryable(spark, built):
+    """Atomicity: the merge's single manifest commit is the flip point. A
+    crash before it leaves the pre-merge index fully intact; a retry
+    completes normally (the orphan increment directory is overwritten)."""
+    docs, cat = built
+    pre = _topk(spark, cat, ["join", "vector"])
+    orig = cat._write_manifest
+
+    def crash(_m):
+        raise RuntimeError("injected crash before manifest commit")
+
+    cat._write_manifest = crash
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            merge_segments(spark, cat, CFG)
+    finally:
+        cat._write_manifest = orig
+    # pre-merge state fully visible: same segments, same results
+    assert cat.read(spark, "segment_stats").count() == 10
+    assert _topk(spark, cat, ["join", "vector"]) == pre
+    # retry succeeds and preserves results
+    merge_segments(spark, cat, CFG)
+    assert _topk(spark, cat, ["join", "vector"]) == pre
+
+
 def test_rewrite_segdata_compaction(spark, built):
     """Compaction folds appends + drops into one snapshot with identical
     observable content and an empty drop list."""
@@ -159,3 +184,11 @@ def test_rewrite_segdata_compaction(spark, built):
     assert not ent.get("appends")
     assert _topk(spark, cat, ["join", "vector"]) == before
     assert _decoded_postings(spark, cat) == post_before
+    # sha256 integrity holds across merge + compaction (S11 invariant)
+    from cuvs_lucene_spark.operators.segments import verify_integrity
+
+    live = docs.join(
+        cat.read(spark, "doc_map").select(F.col("ext_id").alias("doc_id")),
+        "doc_id", "left_semi",
+    )
+    assert verify_integrity(spark, cat, live, "text", "doc_id").count() == 0
