@@ -342,12 +342,10 @@ def ann_topk(
     if use_ivf and cat.exists("ann_ivf"):
         ivf = cat.read(spark, "ann_ivf")
         dim = q.size
-        # job 1: centroid rows only — pushed filter on list_id, column-pruned
-        crows = (
-            ivf.filter(F.col("list_id") == -1)
-            .select("segment_id", "n", "ext_ids", "vectors")
-            .collect()
-        )
+        # job 1: centroid rows only — pushed filter on list_id, column-
+        # pruned; memoized per manifest version so a repeat query pays
+        # only the probed-list scan job
+        crows = _centroid_rows(spark, cat)
         if not crows:
             use_ivf = False
     if use_ivf and crows:
@@ -408,6 +406,24 @@ def ann_topk(
         .limit(k)
         .select("ext_id", "score")
     )
+
+
+def _centroid_rows(spark: SparkSession, cat: IndexCatalog) -> list:
+    """Collected IVF centroid rows, memoized on the catalog keyed by the
+    manifest commit time (same pattern as the norms broadcast)."""
+    m = cat.read_manifest()
+    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
+    memo = getattr(cat, "_centroid_memo", None)
+    if memo is not None and memo["ver"] == ver:
+        return memo["rows"]
+    rows = (
+        cat.read(spark, "ann_ivf")
+        .filter(F.col("list_id") == -1)
+        .select("segment_id", "n", "ext_ids", "vectors")
+        .collect()
+    )
+    cat._centroid_memo = {"ver": ver, "rows": rows}
+    return rows
 
 
 def _validate_metric(cat: IndexCatalog, metric: str) -> None:
@@ -796,11 +812,7 @@ def knn_join_ivf(
     oracle like the reference's randomized search tests."""
     metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
     ivf = cat.read(spark, "ann_ivf")
-    crows = (
-        ivf.filter(F.col("list_id") == -1)
-        .select("segment_id", "n", "ext_ids", "vectors")
-        .collect()
-    )
+    crows = _centroid_rows(spark, cat)
     if not crows:
         return spark.createDataFrame(
             [], "q_id long, vec_id long, score double, rank int"

@@ -372,6 +372,41 @@ def rewrite_segdata(spark: SparkSession, cat: IndexCatalog) -> None:
     cat.define_views(SEGDATA_VIEWS, "segdata")
 
 
+def pick_merge_groups(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg: IndexConfig | None = None,
+    max_segment_docs: int | None = None,
+) -> list[list[int]]:
+    """Tiered merge policy (the host Lucene ``TieredMergePolicy`` the
+    reference's tests run under, ``TestMerge.java:252-254``): group the
+    SMALLEST segments first, ``merge_fanin`` per group, skipping segments
+    already at/above ``max_segment_docs`` (default ``cfg.rows_per_segment``)
+    and never forming single-segment groups. Background compaction then
+    merges many small flush/streaming segments without ever touching the
+    big settled ones — pair with :func:`merge_segments`::
+
+        groups = pick_merge_groups(spark, cat, cfg)
+        if groups:
+            merge_segments(spark, cat, cfg, groups=groups)
+    """
+    cfg = cfg or IndexConfig()
+    cap = max_segment_docs or cfg.rows_per_segment
+    rows = sorted(
+        (
+            (int(r["n_docs"]), int(r["segment_id"]))
+            for r in cat.read(spark, "segment_stats").collect()
+        ),
+    )
+    small = [(n, s) for n, s in rows if n < cap]
+    groups: list[list[int]] = []
+    for i in range(0, len(small), cfg.merge_fanin):
+        chunk = [s for _, s in small[i : i + cfg.merge_fanin]]
+        if len(chunk) >= 2:
+            groups.append(chunk)
+    return groups
+
+
 def force_merge(spark: SparkSession, cat: IndexCatalog, cfg: IndexConfig | None = None) -> None:
     """``forceMerge(1)`` analogue: hierarchical merge until one segment,
     then a physical compaction — forceMerge IS Lucene's full-optimize, so

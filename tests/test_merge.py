@@ -143,6 +143,23 @@ def test_partial_merge_group(spark, built):
     assert _topk(spark, cat, ["join", "vector"]) == exp
 
 
+def test_tiered_merge_policy(spark, built):
+    """pick_merge_groups: smallest segments first, fan-in groups, segments
+    at/above the size cap untouched, no single-segment groups; a policy-
+    driven merge keeps queries exact."""
+    from cuvs_lucene_spark.operators.merge import pick_merge_groups
+
+    docs, cat = built  # 10 segments of 50 docs each
+    groups = pick_merge_groups(spark, cat, CFG, max_segment_docs=51)
+    assert groups and all(2 <= len(g) <= CFG.merge_fanin for g in groups)
+    assert sum(len(g) for g in groups) == 10
+    merge_segments(spark, cat, CFG, groups=groups)
+    # merged segments now hold ~200 docs ≥ cap → policy finds nothing more
+    assert pick_merge_groups(spark, cat, CFG, max_segment_docs=51) == []
+    exp = [(i, round(s, 6)) for i, s in _duck(bm25_sql(["join", "vector"], k=10))]
+    assert _topk(spark, cat, ["join", "vector"]) == exp
+
+
 def test_merge_crash_before_commit_is_invisible_and_retryable(spark, built):
     """Atomicity: the merge's single manifest commit is the flip point. A
     crash before it leaves the pre-merge index fully intact; a retry
