@@ -346,6 +346,44 @@ def test_segment_namespaces_disjoint():
     assert min_stream_seg > max_part_seg
 
 
+def test_batch_scorer_equals_single_scorer(spark, cat):
+    """The sparse batch scorer and the block-max single-query scorer are
+    different algorithms over the same postings — they must agree exactly
+    (ids AND scores) on a randomized query set including AND/OR modes,
+    absent terms, and duplicate terms."""
+    import random
+
+    from cuvs_lucene_spark.operators.bm25 import bm25_topk_batch
+
+    rng = random.Random(1234)
+    vocab = ["join", "vector", "spark", "customer", "dup", "slow", "scan",
+             "hash", "row", "zzz_absent", "merge", "the"]
+    qspecs = {}
+    for i in range(12):
+        terms = rng.sample(vocab, rng.randint(1, 3))
+        if i % 4 == 0:
+            terms = terms + [terms[0]]  # duplicate term
+        qspecs[f"r{i}"] = {
+            "terms": terms,
+            "mode": "and" if i % 3 == 0 else "or",
+            "k": rng.choice([3, 10, 25]),
+        }
+    batch = {
+        (r["query_id"], r["rank"]): (r["ext_id"], round(r["score"], 9))
+        for r in bm25_topk_batch(spark, cat, qspecs, CFG).collect()
+    }
+    for qid, spec in qspecs.items():
+        single = [
+            (r["ext_id"], round(r["score"], 9))
+            for r in bm25_topk(
+                spark, cat, spec["terms"], k=spec["k"], mode=spec["mode"], cfg=CFG
+            ).collect()
+        ]
+        got = [batch[(qid, rk)] for rk in range(1, len(single) + 1) if (qid, rk) in batch]
+        assert got == single, f"divergence on {qid}: {spec}"
+        assert len([k for k in batch if k[0] == qid]) == len(single)
+
+
 # ------------------------------------------------------------- concurrency
 
 
