@@ -71,6 +71,103 @@ def _kmeans(x: np.ndarray, n_lists: int, iters: int, seed: int, trainset_fractio
     return cents
 
 
+def _sq_rows(flat_df: DataFrame) -> DataFrame:
+    """Per-segment scalar-quantized codes (B10) from flat blobs."""
+
+    def build_sq(it):
+        for pdf in it:
+            for r in pdf.itertuples():
+                x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                q, mins, maxs = scalar_quantize(x)
+                yield pd.DataFrame(
+                    {
+                        "segment_id": [r.segment_id],
+                        "n_vecs": [r.n_vecs],
+                        "dim": [r.dim],
+                        "mins": [mins.astype(np.float32).tobytes()],
+                        "maxs": [maxs.astype(np.float32).tobytes()],
+                        "codes": [q.tobytes()],
+                    }
+                )
+
+    return flat_df.mapInPandas(build_sq, SQ_SCHEMA)
+
+
+def _bq_rows(flat_df: DataFrame) -> DataFrame:
+    """Per-segment binary-quantized codes (B9): mean-centroid sign bits
+    packed 8/byte — the LuceneAcceleratedHNSWBinaryQuantized analogue."""
+
+    def build_bq(it):
+        from cuvs_lucene_spark.functions.quantize import binary_quantize
+
+        for pdf in it:
+            for r in pdf.itertuples():
+                x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                packed, centroid = binary_quantize(x)
+                yield pd.DataFrame(
+                    {
+                        "segment_id": [r.segment_id],
+                        "n_vecs": [r.n_vecs],
+                        "dim": [r.dim],
+                        # float64 so query-side bits reproduce build-side bits
+                        "centroid": [centroid.astype(np.float64).tobytes()],
+                        "codes": [packed.tobytes()],
+                    }
+                )
+
+    return flat_df.mapInPandas(build_bq, BQ_SCHEMA)
+
+
+def _ivf_rows(flat_df: DataFrame, ann: AnnParams) -> DataFrame:
+    """Per-segment IVF lists (deterministic k-means, O2 parameter
+    heuristics); segments below min_ann_index_size emit nothing (B2)."""
+    seed = ann.seed
+    kmeans_iters = ann.kmeans_iters
+    min_sz = ann.min_ann_index_size
+
+    def build_ivf(it):
+        for pdf in it:
+            for r in pdf.itertuples():
+                x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                ids = np.frombuffer(r.ext_ids, np.int64)
+                n = x.shape[0]
+                if n < min_sz:
+                    continue  # B2 fallback: brute force only for tiny segments
+                p = ivf_pq_params(n, x.shape[1])
+                n_lists = min(p["n_lists"], n)
+                cents = _kmeans(x, n_lists, kmeans_iters, seed, p["kmeans_trainset_fraction"])
+                d = -2.0 * x @ cents.T + (cents**2).sum(1)[None, :]
+                assign = d.argmin(1)
+                rows = []
+                for c in range(n_lists):
+                    m = np.flatnonzero(assign == c)
+                    if m.size == 0:
+                        continue
+                    rows.append(
+                        (
+                            r.segment_id, c, m.size,
+                            ids[m].tobytes(), x[m].tobytes(),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["segment_id", "list_id", "n", "ext_ids", "vectors"]
+                )
+                # centroid row: list_id = -1; ext_ids carries the segment's
+                # total vector count (int64) so the query-side probe can
+                # resolve n_probes without scanning the list rows
+                yield pd.DataFrame(
+                    {
+                        "segment_id": [r.segment_id],
+                        "list_id": [-1],
+                        "n": [n_lists],
+                        "ext_ids": [np.asarray([n], np.int64).tobytes()],
+                        "vectors": [cents.astype(np.float32).tobytes()],
+                    }
+                )
+
+    return flat_df.mapInPandas(build_ivf, IVF_SCHEMA)
+
+
 def validate_vectors(df: DataFrame, vector_col: str, id_col: str, ann: AnnParams) -> None:
     """I1/I2 analogues: reject >max_dims and duplicate vectors per doc."""
     row = df.select(
@@ -133,94 +230,14 @@ def build_ann(
     # derived stages read the committed flat blobs (merge reads flat only, M4)
     flat_df = cat.read(spark, "ann_flat")
 
-    def build_sq(it):
-        for pdf in it:
-            for r in pdf.itertuples():
-                x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
-                q, mins, maxs = scalar_quantize(x)
-                yield pd.DataFrame(
-                    {
-                        "segment_id": [r.segment_id],
-                        "n_vecs": [r.n_vecs],
-                        "dim": [r.dim],
-                        "mins": [mins.astype(np.float32).tobytes()],
-                        "maxs": [maxs.astype(np.float32).tobytes()],
-                        "codes": [q.tobytes()],
-                    }
-                )
-
-    cat.write(flat_df.mapInPandas(build_sq, SQ_SCHEMA), "ann_sq")
+    cat.write(_sq_rows(flat_df), "ann_sq")
     cat.mark_stage("ann_sq")
 
-    def build_bq(it):
-        # binary-quantized variant (B9): mean-centroid sign bits packed
-        # 8/byte — the LuceneAcceleratedHNSWBinaryQuantized analogue
-        from cuvs_lucene_spark.functions.quantize import binary_quantize
-
-        for pdf in it:
-            for r in pdf.itertuples():
-                x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
-                packed, centroid = binary_quantize(x)
-                yield pd.DataFrame(
-                    {
-                        "segment_id": [r.segment_id],
-                        "n_vecs": [r.n_vecs],
-                        "dim": [r.dim],
-                        # float64 so query-side bits reproduce build-side bits
-                        "centroid": [centroid.astype(np.float64).tobytes()],
-                        "codes": [packed.tobytes()],
-                    }
-                )
-
-    cat.write(flat_df.mapInPandas(build_bq, BQ_SCHEMA), "ann_bq")
+    cat.write(_bq_rows(flat_df), "ann_bq")
     cat.mark_stage("ann_bq")
 
-    seed = ann.seed
-    kmeans_iters = ann.kmeans_iters
-    min_sz = ann.min_ann_index_size
-
-    def build_ivf(it):
-        for pdf in it:
-            for r in pdf.itertuples():
-                x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
-                ids = np.frombuffer(r.ext_ids, np.int64)
-                n = x.shape[0]
-                if n < min_sz:
-                    continue  # B2 fallback: brute force only for tiny segments
-                p = ivf_pq_params(n, x.shape[1])
-                n_lists = min(p["n_lists"], n)
-                cents = _kmeans(x, n_lists, kmeans_iters, seed, p["kmeans_trainset_fraction"])
-                d = -2.0 * x @ cents.T + (cents**2).sum(1)[None, :]
-                assign = d.argmin(1)
-                rows = []
-                for c in range(n_lists):
-                    m = np.flatnonzero(assign == c)
-                    if m.size == 0:
-                        continue
-                    rows.append(
-                        (
-                            r.segment_id, c, m.size,
-                            ids[m].tobytes(), x[m].tobytes(),
-                        )
-                    )
-                yield pd.DataFrame(
-                    rows, columns=["segment_id", "list_id", "n", "ext_ids", "vectors"]
-                )
-                # centroid row: list_id = -1; ext_ids carries the segment's
-                # total vector count (int64) so the query-side probe can
-                # resolve n_probes without scanning the list rows
-                yield pd.DataFrame(
-                    {
-                        "segment_id": [r.segment_id],
-                        "list_id": [-1],
-                        "n": [n_lists],
-                        "ext_ids": [np.asarray([n], np.int64).tobytes()],
-                        "vectors": [cents.astype(np.float32).tobytes()],
-                    }
-                )
-
     cat.write(
-        flat_df.mapInPandas(build_ivf, IVF_SCHEMA),
+        _ivf_rows(flat_df, ann),
         "ann_ivf",
         sort_within_partitions=["segment_id", "list_id"],
     )

@@ -95,6 +95,112 @@ def incremental_add(
     cat.mark_stage(f"epoch_{epoch}", n_epoch=epoch)
 
 
+def incremental_add_vectors(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    vectors: DataFrame,
+    cfg: IndexConfig,
+    epoch: int,
+    id_col: str = "ext_id",
+    vector_col: str = "vector",
+) -> None:
+    """Streaming ANN ingest: micro-batch epoch ≙ codec flush. The
+    reference's codec builds a fresh per-segment vector index at EVERY
+    Lucene commit (SURVEY §3.1); here each epoch's vectors become new ann
+    segments — flat + SQ + BQ + IVF rows — appended to the sidecar tables
+    with the same idempotent epoch tags as the text path (redelivery
+    replaces, committed epochs skip). Per-segment structures are
+    independent, so appended segments need no rebuild of earlier ones;
+    ``merge_ann`` later compacts, exactly like text segments."""
+    import numpy as np
+    import pandas as pd
+
+    from cuvs_lucene_spark.operators.ann import (
+        ANN_FORMAT_VERSION,
+        BQ_SCHEMA,
+        FLAT_SCHEMA,
+        IVF_SCHEMA,
+        SQ_SCHEMA,
+        _bq_rows,
+        _ivf_rows,
+        _sq_rows,
+        validate_vectors,
+    )
+
+    if cat.stage_done(f"ann_epoch_{epoch}"):
+        return
+    validate_vectors(vectors, vector_col, id_col, cfg.ann)
+    m = cat.read_manifest()
+    if "ann_metric" not in m.get("config", {}):
+        cat.set_config(
+            {
+                **m.get("config", {}),
+                "ann_metric": cfg.ann.metric,
+                "ann_format": ANN_FORMAT_VERSION,
+                "rows_per_segment": cfg.rows_per_segment,
+            }
+        )
+    seg_base = STREAM_BASE + (epoch + 1) * EPOCH_STRIDE
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("ext_id"),
+        F.col(vector_col).alias("vector"),
+    ).withColumn(
+        "segment_id",
+        F.lit(seg_base)
+        + F.pmod(
+            (F.col("ext_id") / F.lit(cfg.rows_per_segment)).cast("long"),
+            F.lit(EPOCH_STRIDE),
+        ),
+    )
+
+    def build_flat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ext_id")
+        x = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
+        return pd.DataFrame(
+            {
+                "segment_id": [int(pdf["segment_id"].iloc[0])],
+                "n_vecs": [np.int32(x.shape[0])],
+                "dim": [np.int32(x.shape[1])],
+                "ext_ids": [pdf["ext_id"].to_numpy(np.int64).tobytes()],
+                "vectors": [x.tobytes()],
+            }
+        )
+
+    flat = base.groupBy("segment_id").applyInPandas(build_flat, FLAT_SCHEMA).cache()
+    for table, schema in (
+        ("ann_flat", FLAT_SCHEMA),
+        ("ann_sq", SQ_SCHEMA),
+        ("ann_bq", BQ_SCHEMA),
+        ("ann_ivf", IVF_SCHEMA),
+    ):
+        if not cat.exists(table):
+            cat.write(spark.createDataFrame([], schema), table)
+    tag = f"ann_epoch_{epoch}"
+    cat.append(flat, "ann_flat", tag=tag)
+    cat.append(_sq_rows(flat), "ann_sq", tag=tag)
+    cat.append(_bq_rows(flat), "ann_bq", tag=tag)
+    cat.append(_ivf_rows(flat, cfg.ann), "ann_ivf", tag=tag)
+    # maintain the B2 brute-force fallback list for sub-min-size segments
+    flat_segs = {int(r["segment_id"]) for r in flat.select("segment_id").collect()}
+    ivf_segs = {
+        int(r["segment_id"])
+        for r in cat.read(spark, "ann_ivf")
+        .filter(F.col("list_id") == -1)
+        .select("segment_id")
+        .distinct()
+        .collect()
+    }
+    prev = set(
+        cat.read_manifest()["stages"].get("ann_ivf", {}).get("bf_fallback_segments", [])
+    )
+    cat.mark_stage(
+        "ann_ivf",
+        bf_fallback_segments=sorted(prev | (flat_segs - ivf_segs)),
+    )
+    flat.unpersist()
+    cat.mark_stage(f"ann_epoch_{epoch}", n_epoch=epoch)
+
+
 def stream_build(
     spark: SparkSession,
     stream: DataFrame,
