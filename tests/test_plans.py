@@ -99,6 +99,18 @@ def test_ivf_probe_pushes_list_filter(spark, tmp_path):
     assert any("list_id" in p[:300] for p in pushed), plan[:2000]
 
 
+def test_fast_query_path_single_shuffle_no_cogroup(spark, cat):
+    """The no-deletes broadcast-norms query path: ONE hash exchange on
+    segment_id, no FlatMapCoGroupsInPandas (the aux union + cogroup only
+    appear when tombstones or large filters force the blob path)."""
+    from cuvs_lucene_spark.operators.bm25 import bm25_topk
+
+    df = bm25_topk(spark, cat, ["join", "vector"], k=10, cfg=CFG)
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_whole_stage_codegen_on_text_ops(spark):
     from cuvs_lucene_spark.functions.textstats import quality_score
 

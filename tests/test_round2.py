@@ -112,6 +112,25 @@ def test_ivf_small_segment_fallback(spark, tmp_path):
     assert got == [8], "vector in the IVF-less segment must be reachable"
 
 
+def test_ivf_filtered_prefilter(spark, acat, np_vecs):
+    """S10 on the IVF path: the filter restricts candidates before top-k
+    in every probed list AND in the brute-forced fallback segments."""
+    ids, x = np_vecs
+    allowed = {int(i) for i in ids if i % 7 == 0}
+    got = [
+        r["ext_id"]
+        for r in ann_topk(
+            spark, acat, x[0], k=10, metric="l2", cfg=CFG, mode="ivf",
+            filter_ext_ids=allowed,
+        ).collect()
+    ]
+    assert got and all(g in allowed for g in got)
+    # containment vs the exact filtered oracle's widened top-k
+    mask = np.array([int(i) in allowed for i in ids])
+    exact = [i for i, _ in _exact_l2(ids[mask], x[mask], x[0], 30)]
+    assert set(got) <= set(exact)
+
+
 def test_metric_mismatch_rejected(spark, acat):
     """CuVS2510GPUVectorsReader.java:247-255 analogue: querying a derived
     structure under a different similarity function errors; exact mode over
