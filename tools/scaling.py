@@ -189,7 +189,7 @@ def main():
 Workload: full inverted-index build over a {n_docs:,}-doc deterministic
 synthetic code corpus (input_hint schema, Zipf hot-term skew) + a
 1024-query BM25 top-10 batch. IDENTICAL logical plan at both levels (same
-input partitioning, same 64 shuffle partitions, same segmentation); only
+input partitioning, same 32 shuffle partitions, same segmentation); only
 the executor-slot count differs — exactly what N vs 4N executors changes
 on a real cluster. {low['n_runs']} runs per level, INTERLEAVED across
 levels; reported numbers are min-of-N (noise floor), medians shown in
