@@ -309,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dd.exact_dedup(_docs(s, d).select("doc_id", F.substring("text", 1, 40).alias("text")))
         .select("fingerprint", "n_dups", "keep_id")
     )
+    q["dedup_keep_list"] = lambda s, d: dd.dedup_keep_list(
+        _docs(s, d).select("doc_id", F.substring("text", 1, 40).alias("text"))
+    )
     q["minhash_lsh"] = lambda s, d: dd.minhash_lsh_candidates(
         _docs(s, d), n_perm=4, bands=4
     )
@@ -493,6 +496,12 @@ FROM (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fingerprint FROM docum
 GROUP BY fingerprint HAVING count(*) > 1
 """.strip()
     tok40 = TOKENS.format(col="substr(text, 1, 40)")
+    o["dedup_keep_list"] = f"""
+SELECT doc_id AS id,
+       doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep,
+       CAST(count(*) OVER (PARTITION BY fp) AS INT) AS group_size
+FROM (SELECT doc_id, md5(array_to_string({tok40}, ' ')) AS fp FROM documents)
+""".strip()
     o["fingerprint_groups"] = f"""
 SELECT fingerprint, count(*)::INT AS n_dups, min(doc_id) AS keep_id
 FROM (SELECT doc_id, md5(array_to_string({tok40}, ' ')) AS fingerprint FROM documents)

@@ -48,6 +48,28 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_keep_list(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The pipeline DECISION exact dedup feeds downstream: every doc id
+    with a keep flag — the minimum id of each exact-content group
+    survives, all other members drop. (id, keep, group_size). One
+    hash-partitioned window over the content fingerprint; fingerprints
+    are uniformly distributed, so no skew handling is needed."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.md5(_canon_text(text_col)).alias("fingerprint"),
+        )
+        .withColumn("keep", F.col("id") == F.min("id").over(w))
+        .withColumn("group_size", F.count("*").over(w).cast("int"))
+        .select("id", "keep", "group_size")
+    )
+
+
 def _shingles(text_col: str, n: int = 3):
     """Distinct n-token shingles as a JVM expression (no UDF)."""
     toks = tokenize_expr(text_col)
