@@ -567,23 +567,9 @@ def ann_topk_bq(
     )
 
 
-def build_ann_pq(
-    spark: SparkSession,
-    cat: IndexCatalog,
-    cfg: IndexConfig | None = None,
-) -> None:
-    """Product-quantization codes — the structure the reference's derived
-    IVF-PQ parameters describe (``CagraIndexParamsFactory.java:31-93``:
-    pqDim bucketed by dim, pqBits 8 for dim≤32 else 4; consumed on the GPU
-    inside cuVS, re-expressed here as explicit per-segment codebooks).
-
-    Per segment (from the committed flat storage, M4): the vector space is
-    split into ``pq_dim`` contiguous subspaces; each subspace gets its own
-    deterministic k-means codebook of 2^pq_bits centroids; every vector is
-    stored as pq_dim uint8 centroid ids. Search (:func:`ann_topk_pq`) is
-    the classic ADC scan: one (pq_dim × 2^bits) lookup table per query,
-    approximate distance = sum of per-subspace LUT entries."""
-    cfg = cfg or IndexConfig()
+def _pq_rows(flat_df: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Per-segment PQ codebooks + codes from flat blobs (shared by the
+    batch build and the streaming epoch append)."""
     seed = cfg.ann.seed
     iters = cfg.ann.kmeans_iters
 
@@ -623,7 +609,27 @@ def build_ann_pq(
                     }
                 )
 
-    cat.write(cat.read(spark, "ann_flat").mapInPandas(build, PQ_SCHEMA), "ann_pq")
+    return flat_df.mapInPandas(build, PQ_SCHEMA)
+
+
+def build_ann_pq(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg: IndexConfig | None = None,
+) -> None:
+    """Product-quantization codes — the structure the reference's derived
+    IVF-PQ parameters describe (``CagraIndexParamsFactory.java:31-93``:
+    pqDim bucketed by dim, pqBits 8 for dim≤32 else 4; consumed on the GPU
+    inside cuVS, re-expressed here as explicit per-segment codebooks).
+
+    Per segment (from the committed flat storage, M4): the vector space is
+    split into ``pq_dim`` contiguous subspaces; each subspace gets its own
+    deterministic k-means codebook of 2^pq_bits centroids; every vector is
+    stored as pq_dim uint8 centroid ids. Search (:func:`ann_topk_pq`) is
+    the classic ADC scan: one (pq_dim × 2^bits) lookup table per query,
+    approximate distance = sum of per-subspace LUT entries."""
+    cfg = cfg or IndexConfig()
+    cat.write(_pq_rows(cat.read(spark, "ann_flat"), cfg), "ann_pq")
     cat.mark_stage("ann_pq")
 
 
@@ -799,6 +805,14 @@ def merge_ann(
         spark, merged, cat.root, cfg, id_col="ext_id", vector_col="vector",
         rows_per_segment=rows_per_segment or cfg.rows_per_segment,
     )
+    # every derived structure must follow the rebuild — a stale graph/PQ
+    # table would cogroup against the new flat segments and silently miss
+    if cat.exists("ann_graph"):
+        from cuvs_lucene_spark.operators.ann_graph import build_ann_graph
+
+        build_ann_graph(spark, cat, cfg)
+    if cat.exists("ann_pq"):
+        build_ann_pq(spark, cat, cfg)
 
 
 def knn_join_ivf(

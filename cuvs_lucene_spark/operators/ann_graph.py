@@ -66,19 +66,9 @@ def _knn_graph(x: np.ndarray, degree: int) -> list[np.ndarray]:
     return out
 
 
-def build_ann_graph(
-    spark: SparkSession,
-    cat: IndexCatalog,
-    cfg: IndexConfig | None = None,
-    degree: int | None = None,
-) -> None:
-    """Build the per-segment graph sidecar from ``ann_flat``.
-
-    Blob layout per segment: ``offsets`` = little-endian uint64 cumulative
-    byte offsets (n_nodes + 1 entries — the monotonic offset directory),
-    ``graph`` = concatenated per-node varint blocks, each node's sorted
-    neighbor ids delta-encoded (first value absolute)."""
-    cfg = cfg or IndexConfig()
+def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None):
+    """Per-segment graph rows from flat blobs (shared by the batch build
+    and the streaming epoch append)."""
     deg = degree or cfg.ann.graph_degree
 
     def build(it):
@@ -125,7 +115,23 @@ def build_ann_graph(
                     }
                 )
 
-    cat.write(cat.read(spark, "ann_flat").mapInPandas(build, GRAPH_SCHEMA), "ann_graph")
+    return flat_df.mapInPandas(build, GRAPH_SCHEMA)
+
+
+def build_ann_graph(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg: IndexConfig | None = None,
+    degree: int | None = None,
+) -> None:
+    """Build the per-segment graph sidecar from ``ann_flat``.
+
+    Blob layout per segment: ``offsets`` = little-endian uint64 cumulative
+    byte offsets (n_nodes + 1 entries — the monotonic offset directory),
+    ``graph`` = concatenated per-node varint blocks, each node's sorted
+    neighbor ids delta-encoded (first value absolute)."""
+    cfg = cfg or IndexConfig()
+    cat.write(_graph_rows(cat.read(spark, "ann_flat"), cfg, degree), "ann_graph")
     cat.mark_stage("ann_graph")
 
 

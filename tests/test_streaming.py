@@ -122,3 +122,45 @@ def test_incremental_vector_epochs_equal_batch(spark, tmp_path):
     incremental_add_vectors(spark, inc, batch1, cfg, 1, id_col="vec_id", vector_col="embedding")
     assert inc.read(spark, "ann_flat").count() == n_flat
     assert res(inc, mode="exact") == res(bcat, mode="exact")
+
+
+def test_vector_epochs_keep_graph_pq_consistent_and_merge(spark, tmp_path):
+    """Derived graph/PQ sidecars follow streaming epochs (per-epoch
+    appends) and merge_ann rebuilds them — a stale derived table would
+    silently miss the new/merged segments."""
+    import numpy as np
+
+    from cuvs_lucene_spark.operators.ann import (
+        ann_topk, ann_topk_pq, build_ann_pq, merge_ann,
+    )
+    from cuvs_lucene_spark.operators.ann_graph import ann_topk_graph, build_ann_graph
+    from cuvs_lucene_spark.streaming.ingest import incremental_add_vectors
+
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cfg = IndexConfig(rows_per_segment=100)
+    cat = IndexCatalog(str(tmp_path / "gpstream"))
+    e0 = vecs.filter(F.col("vec_id") < 250)
+    incremental_add_vectors(spark, cat, e0, cfg, 0, id_col="vec_id", vector_col="embedding")
+    build_ann_graph(spark, cat, cfg)
+    build_ann_pq(spark, cat, cfg)
+    e1 = vecs.filter(F.col("vec_id") >= 250)
+    incremental_add_vectors(spark, cat, e1, cfg, 1, id_col="vec_id", vector_col="embedding")
+    rows = sorted(vecs.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], np.float32)
+    q = x[300]  # lives in epoch 1 — only reachable if derived tables followed
+    s = 1.0 / (1.0 + ((x.astype(np.float64) - q.astype(np.float64)) ** 2).sum(1))
+    exact30 = {int(ids[i]) for i in np.lexsort((ids, -s))[:30]}
+
+    def check():
+        g = [r["ext_id"] for r in ann_topk_graph(spark, cat, q, k=10, cfg=cfg).collect()]
+        p = [r["ext_id"] for r in ann_topk_pq(spark, cat, q, k=10, cfg=cfg).collect()]
+        e = [r["ext_id"] for r in ann_topk(spark, cat, q, k=10, cfg=cfg, mode="exact").collect()]
+        assert g and g[0] == 300 and set(g) <= exact30
+        assert p and p[0] == 300 and set(p) <= exact30
+        assert e[0] == 300
+
+    check()
+    merge_ann(spark, cat, cfg)  # rebuild collapses epochs; derived follow
+    assert cat.read(spark, "ann_flat").count() == 5  # 500 rows / rows_per_segment=100
+    check()
