@@ -184,7 +184,7 @@ def incremental_add_vectors(
     # epoch's segments too — per-segment independence means we only build
     # over the NEW flat rows and append
     if cat.exists("ann_graph"):
-        from cuvs_lucene_spark.operators.ann_graph import GRAPH_SCHEMA, _graph_rows
+        from cuvs_lucene_spark.operators.ann_graph import _graph_rows
 
         cat.append(_graph_rows(flat, cfg), "ann_graph", tag=tag)
     if cat.exists("ann_pq"):
