@@ -77,9 +77,31 @@ class IndexConfig:
     merge_fanin: int = 10               # hierarchical merge fan-in
 
     # --- query defaults ---
+    # Per-query search-parameter mapping to the reference's
+    # ``GPUSearchParams``/``GPUKnnFloatVectorQuery`` surface (§2.6 parity):
+    #
+    #   reference knob              this engine
+    #   -------------------------   ------------------------------------------
+    #   iTopK / intermediate top-k  ``ef`` arg of ann_topk_graph (default
+    #                               max(k + overfetch, 64) — iTopK ≥ topK, O5)
+    #   searchWidth                 ``nprobe`` arg of ann_topk / knn_join_ivf
+    #                               (IVF lists probed per segment; default
+    #                               from ivf_pq_params n_probes)
+    #   refinementRate              ``rerank_factor`` arg of ann_topk_sq/_pq
+    #                               (coarse candidates = k * rerank_factor)
+    #   filtered-search widening    ``overfetch`` below: eff_k = min(k +
+    #                               overfetch, |mask|)
+    #   visitedLimit                ``visited_limit`` arg of ann_topk_graph
+    #                               (max nodes scored per leaf; beam stops
+    #                               early when exhausted — collector budget,
+    #                               GPUPerLeafCuVSKnnCollector.java:26-38)
     default_k: int = 10
     overfetch: int = 10                 # filtered-search widening: min(k+10, |mask|)
                                         # (CuVS2510GPUVectorsReader.java:432)
+    # incremental merges drop segments logically; a merge auto-compacts the
+    # segdata table once the dropped-doc fraction exceeds this (Lucene
+    # deletes unreferenced files; Iceberg rewrite_data_files)
+    compact_dropped_fraction: float = 0.3
 
     def __post_init__(self):
         checks = [
@@ -102,6 +124,11 @@ class IndexConfig:
             raise ValueError(f"ann.metric={self.ann.metric!r} not in l2|cosine|dot")
         if self.ann.max_dims < 1:
             raise ValueError("ann.max_dims must be >= 1")
+        if not (0.0 <= self.compact_dropped_fraction <= 1.0):
+            raise ValueError(
+                f"compact_dropped_fraction={self.compact_dropped_fraction} "
+                "out of range [0, 1]"
+            )
 
 
 # ---------------------------------------------------------------------------

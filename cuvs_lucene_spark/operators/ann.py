@@ -545,7 +545,14 @@ def ann_topk_bq(
             return empty
         r = bqp.iloc[0]
         codes = np.frombuffer(r["codes"], np.uint8).reshape(r["n_vecs"], -1)
-        centroid = np.frombuffer(r["centroid"], np.float64)
+        # v2 writes the centroid as float64; v1 indexes wrote float32 —
+        # gate on blob length (dim*8 vs dim*4) so pre-v2 indexes still open
+        dim = int(r["dim"])
+        raw = bytes(r["centroid"])
+        if len(raw) == dim * 8:
+            centroid = np.frombuffer(raw, np.float64)
+        else:
+            centroid = np.frombuffer(raw, np.float32).astype(np.float64)
         ids = np.frombuffer(fp.iloc[0]["ext_ids"], np.int64)
         qbits = np.packbits(q > centroid)
         ham = np.unpackbits(codes ^ qbits[None, :], axis=1).sum(1)

@@ -426,7 +426,9 @@ def make_batch_scorer(
                 acc[d] += c  # doc ids unique per term → plain fancy add
             hit = (acc > 0) & alive
             if mode == "and":
-                nh = np.zeros(n_docs, dtype=np.int8)
+                # int32: an int8 counter wraps at >127 query terms and the
+                # nh == len(present) test then silently matches nothing
+                nh = np.zeros(n_docs, dtype=np.int32)
                 for t in present:
                     nh[term_post[t][0]] += 1
                 hit &= nh == len(present)

@@ -215,9 +215,11 @@ def merge_segments(
             "incremental merge requires the unified segdata layout "
             "(postings/doc_map/... as views of segdata)"
         )
-    seg_ids = sorted(
-        r["segment_id"] for r in cat.read(spark, "segment_stats").select("segment_id").collect()
+    stats_rows = (
+        cat.read(spark, "segment_stats").select("segment_id", "n_docs").collect()
     )
+    seg_ids = sorted(int(r["segment_id"]) for r in stats_rows)
+    ndocs_of = {int(r["segment_id"]): int(r["n_docs"]) for r in stats_rows}
     if groups is None:
         groups = [
             seg_ids[i : i + cfg.merge_fanin] for i in range(0, len(seg_ids), cfg.merge_fanin)
@@ -319,11 +321,20 @@ def merge_segments(
     ).sortWithinPartitions("kind", "term_bucket", "term", "segment_id", "block_id", "doc_id")
     prev_dropped = set(sd_ent.get("dropped_segments", []))
     dropped = sorted(prev_dropped | {int(s) for s in merged_segs})
+    # cumulative doc count behind the logical drops — the auto-compaction
+    # trigger statistic, committed atomically with the drop list
+    dropped_docs = int(sd_ent.get("dropped_docs", 0)) + sum(
+        ndocs_of[int(s)] for s in merged_segs
+    )
     cat.append(
         seg_rows,
         "segdata",
         tag=f"merge_gen_{gen}",
-        extra_entry={"dropped_segments": dropped, "merge_gen": gen},
+        extra_entry={
+            "dropped_segments": dropped,
+            "dropped_docs": dropped_docs,
+            "merge_gen": gen,
+        },
     )
     cat.define_views(SEGDATA_VIEWS, "segdata")
 
@@ -336,6 +347,16 @@ def merge_segments(
         cat.write(remaining, "tombstones", lineage={"n": n_tomb})
         remaining.unpersist()
 
+    # auto-compaction: once the logically-dropped rows dominate the physical
+    # table, every subsequent read scans mostly dead data (the q_after_merge
+    # cliff) — rewrite to one compact snapshot now, exactly like Lucene
+    # deleting unreferenced segment files / Iceberg rewrite_data_files.
+    # Runs BEFORE the terms_global refresh so the dictionary stays the last
+    # table write (its freshness gate compares committed_at).
+    total_live = sum(ndocs_of.values())  # ≈ post-merge live docs
+    if dropped_docs > cfg.compact_dropped_fraction * (dropped_docs + total_live):
+        rewrite_segdata(spark, cat)
+
     # refresh the global dictionary LAST so its freshness check holds
     cat.write(
         cat.read(spark, "terms")
@@ -347,6 +368,33 @@ def merge_segments(
 
     lineage = {str(newseg[g]): {"merged_from": [int(s) for s in grp]} for g, grp in enumerate(groups)}
     cat.mark_stage(f"merge_{len(seg_ids)}to{len(groups)}", lineage=lineage)
+
+    # fold the first-query-after-merge costs into the merge commit: refresh
+    # the manifest corpus-stats cache and the executor norms broadcast here,
+    # so the next query is the same single Spark job as a steady-state one
+    srows = cat.read(spark, "segment_stats").collect()
+    n_total = sum(int(r["n_docs"]) for r in srows)
+    cat.mark_stage(
+        "finalize",
+        lineage={
+            str(r["segment_id"]): {
+                "n_docs": int(r["n_docs"]), "n_tokens": int(r["n_tokens"])
+            }
+            for r in srows
+        },
+        corpus_stats={
+            "n_docs": n_total,
+            "n_tokens": sum(int(r["n_tokens"]) for r in srows),
+        },
+    )
+    if n_total <= 2_000_000:  # NORMS_BROADCAST_MAX_DOCS gate (bm25.py)
+        try:
+            from cuvs_lucene_spark.operators.bm25 import _norms_broadcast
+
+            _norms_broadcast(spark, cat)
+        except Exception:
+            pass  # broadcast warmup is an optimization, never a merge failure
+
     ndm.unpersist()
     unpersist_rank()
     return newseg

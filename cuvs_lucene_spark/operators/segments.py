@@ -499,32 +499,29 @@ def grouped_dense_rank(
     ``order_cols`` — with NO per-group single-partition window (the thing
     that serializes a forceMerge(1) doc-id assignment through one task).
 
-    Plan: range-partition by (group, order) and PERSIST the result —
-    Spark's range partitioner re-samples boundaries per execution, so
-    without pinning, the counts pass and the rank pass could disagree on
-    partition membership and produce colliding ranks. Then ONE tiny
+    Plan: range-partition by (group, order) and LOCAL-CHECKPOINT the
+    result — Spark's range partitioner re-samples boundaries per
+    execution, so without pinning, the counts pass and the rank pass
+    could disagree on partition membership and produce colliding ranks.
+    ``localCheckpoint`` (not a mere persist) SEVERS the lineage: even an
+    executor loss that forces recomputation on a real cluster cannot
+    re-sample boundaries between the two passes. Then ONE tiny
     driver-side pass over per-(partition, group) counts yields cumulative
     offsets, and each partition computes ``offset + local_position``
-    map-side (zero further shuffle). Returns ``(ranked_df, unpersist)``;
-    call ``unpersist()`` after the ranked output has been fully consumed.
-
-    Fault-tolerance note: MEMORY_AND_DISK persistence pins partition
-    membership against eviction; on a real cluster where an EXECUTOR LOSS
-    can force lineage recomputation (which would re-sample boundaries),
-    swap the persist for ``df.localCheckpoint()`` — same plan, fully
-    severed lineage.
+    map-side (zero further shuffle). Returns ``(ranked_df, release)``;
+    call ``release()`` after the ranked output has been fully consumed.
     """
     import pyspark.sql.types as T
-    from pyspark import StorageLevel, TaskContext
+    from pyspark import TaskContext
 
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
         )
-    ordered = df.repartitionByRange(n_partitions, *group_cols, *order_cols).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ordered = df.repartitionByRange(
+        n_partitions, *group_cols, *order_cols
+    ).localCheckpoint(eager=True)
     cnt_rows = (
         ordered.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid", *group_cols)
@@ -571,7 +568,16 @@ def grouped_dense_rank(
         yield pdf
 
     ranked = ordered.mapInPandas(rank_partition, out_schema)
-    return ranked, (lambda: ordered.unpersist())
+
+    def _release():
+        # checkpoint blocks are reclaimed by the ContextCleaner once the
+        # RDD is unreferenced; best-effort explicit unpersist on top
+        try:
+            ordered.unpersist()
+        except Exception:
+            pass
+
+    return ranked, _release
 
 
 def with_index_sort(
