@@ -252,6 +252,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
                  cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
     )
+    # filtered search on the DERIVED formats (acceptDocs inside every
+    # reader, CuVS2510GPUVectorsReader.java:418-434 / TestCuVSGaps.java:
+    # 146-170): pre-filter to even vec_ids, containment vs the exact
+    # FILTERED top-3k — leaks of filtered-out ids break n_contained
+    def _even_filter(s, d):
+        return {
+            int(r["vec_id"])
+            for r in _embs(s, d).filter(F.col("vec_id") % 2 == 0)
+            .select("vec_id").collect()
+        }
+
+    def _exact_filtered30(s, d):
+        return ann_topk(
+            s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2", cfg=CFG,
+            mode="exact", filter_ext_ids=_even_filter(s, d),
+        ).select(F.col("ext_id").alias("vec_id"))
+
+    q["ann_graph_filtered"] = lambda s, d: _contain(
+        __import__(
+            "cuvs_lucene_spark.operators.ann_graph", fromlist=["ann_topk_graph"]
+        ).ann_topk_graph(
+            s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG,
+            filter_ext_ids=_even_filter(s, d),
+        ).select(F.col("ext_id").alias("vec_id")),
+        _exact_filtered30(s, d),
+    )
+    q["ann_sq_filtered"] = lambda s, d: _contain(
+        ann_topk_sq(
+            s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG,
+            filter_ext_ids=_even_filter(s, d),
+        ).select(F.col("ext_id").alias("vec_id")),
+        _exact_filtered30(s, d),
+    )
+
     # scalar-quantized coarse scan + exact rerank (B10/B11 search path)
     q["ann_sq_l2"] = lambda s, d: _contain(
         ann_topk_sq(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG)
@@ -456,6 +490,13 @@ SELECT CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_returne
     o["ann_sq_l2"] = _contain10
     o["ann_graph_l2"] = _contain10
     o["ann_pq_l2"] = _contain10
+    # filtered variants: the candidate pool is the even-vec_id subset
+    _contain10_even = """
+SELECT CAST(least(10, (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)) AS BIGINT) AS n_returned,
+       CAST(least(10, (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)) AS BIGINT) AS n_contained
+""".strip()
+    o["ann_graph_filtered"] = _contain10_even
+    o["ann_sq_filtered"] = _contain10_even
     o["knn_join_ivf"] = """
 SELECT vec_id AS q_id, CAST(3 AS BIGINT) AS n_returned, CAST(3 AS BIGINT) AS n_contained
 FROM embeddings WHERE vec_id < 20

@@ -266,6 +266,80 @@ def build_ann(
 # ---------------------------------------------------------------------------
 
 
+def _sorted_ids(ids) -> np.ndarray | None:
+    """Normalize a filter id collection to a sorted int64 array (or None)."""
+    if ids is None:
+        return None
+    if isinstance(ids, np.ndarray):
+        return np.sort(ids.astype(np.int64))
+    return np.array(sorted(int(i) for i in ids), dtype=np.int64)
+
+
+def _member_mask(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Bool membership of ``ids`` in a sorted set (searchsorted, no hashing)."""
+    if sorted_set.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_set, ids), sorted_set.size - 1)
+    return sorted_set[pos] == ids
+
+
+def _accept_mask(
+    ids: np.ndarray,
+    allowed: np.ndarray | None,
+    tomb: np.ndarray | None,
+) -> np.ndarray | None:
+    """acceptDocs analogue: bool mask over ``ids`` combining the query
+    pre-filter and the tombstone set; None when everything is accepted
+    (``CuVS2510GPUVectorsReader.java:418-434`` applies acceptDocs inside
+    EVERY reader's search — all formats, not just the exact path)."""
+    m = None
+    if allowed is not None:
+        m = _member_mask(ids, allowed)
+    if tomb is not None and tomb.size:
+        t = ~_member_mask(ids, tomb)
+        m = t if m is None else (m & t)
+    return m
+
+
+def delete_ann(spark: SparkSession, cat: IndexCatalog, ext_ids) -> int:
+    """Tombstone vectors by ext_id — the liveDocs analogue for the ANN
+    sidecar. Deleted ids are excluded by EVERY search mode at query time
+    (exact, IVF, SQ, PQ, BQ, graph, kNN join) and physically removed at the
+    next :func:`merge_ann` (M5). Returns the live tombstone count; the
+    count rides the manifest so the no-deletes path costs zero jobs."""
+    new = spark.createDataFrame([(int(i),) for i in set(ext_ids)], "ext_id long")
+    if cat.exists("ann_tombstones"):
+        new = cat.read(spark, "ann_tombstones").unionByName(new).distinct()
+    new = new.cache()
+    n = new.count()
+    cat.write(new, "ann_tombstones", lineage={"n": n})
+    new.unpersist()
+    return n
+
+
+def _ann_tombstones(spark: SparkSession, cat: IndexCatalog) -> np.ndarray | None:
+    """Sorted tombstoned ext_ids (None when empty), memoized per manifest
+    version. The in-memory set is bounded by deletes-since-last-merge —
+    the same envelope as Lucene's per-segment liveDocs bitset — and is
+    cleared by merge_ann's rebuild."""
+    if not cat.exists("ann_tombstones"):
+        return None
+    if cat.table_lineage("ann_tombstones").get("n") == 0:
+        return None
+    m = cat.read_manifest()
+    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
+    memo = getattr(cat, "_ann_tomb_memo", None)
+    if memo is not None and memo["ver"] == ver:
+        return memo["arr"]
+    arr = np.array(
+        sorted(r["ext_id"] for r in cat.read(spark, "ann_tombstones").collect()),
+        dtype=np.int64,
+    )
+    arr = arr if arr.size else None
+    cat._ann_tomb_memo = {"ver": ver, "arr": arr}
+    return arr
+
+
 def _scores(x: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
     # float64 throughout: float32 inputs, double math — bit-compatible with
     # the DuckDB oracle's DOUBLE[] arithmetic (scores rounded to 6 dp on
@@ -327,18 +401,15 @@ def ann_topk(
         # Exact mode scores raw flat vectors, which support any metric.
         _validate_metric(cat, metric)
     eff_k = k
-    allowed = None
-    if filter_ext_ids is not None:
-        allowed = np.array(sorted(filter_ext_ids), dtype=np.int64)
+    allowed = _sorted_ids(filter_ext_ids)
+    tomb = _ann_tombstones(spark, cat)
+    if allowed is not None:
         eff_k = min(k + cfg.overfetch, allowed.size)  # S2 widening
 
     def _apply_filter(ids: np.ndarray, s: np.ndarray):
-        if allowed is None:
+        m = _accept_mask(ids, allowed, tomb)
+        if m is None:
             return ids, s
-        if allowed.size == 0:
-            return ids[:0], s[:0]
-        pos = np.minimum(np.searchsorted(allowed, ids), allowed.size - 1)
-        m = allowed[pos] == ids
         return ids[m], s[m]
 
     def scan(it):
@@ -460,6 +531,7 @@ def ann_topk_sq(
     k: int = 10,
     cfg: IndexConfig | None = None,
     rerank_factor: int = 3,
+    filter_ext_ids=None,
 ) -> DataFrame:
     """Scalar-quantized search path (B10/B11 read side, mirroring
     ``LuceneAcceleratedHNSWScalarQuantizedVectorsWriter.java:149-159`` /
@@ -470,13 +542,20 @@ def ann_topk_sq(
     same cogrouped pass. Approximate overall (a true neighbor can fall
     outside the coarse cut), validated by containment like the reference's
     quantized-format tests. Returns (ext_id, score) with exact 1/(1+d) L2
-    scores."""
+    scores.
+
+    ``filter_ext_ids`` + ANN tombstones apply as a PRE-filter at the coarse
+    stage (candidates are drawn from accepted vectors only — stricter than
+    the reference's k+10 widening, same filtered-search contract on the
+    quantized formats, ``TestCuVSGaps.java:146-170``)."""
     cfg = cfg or IndexConfig()
     _validate_metric(cat, "l2")
     q = np.asarray(query, dtype=np.float32)
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")
     m_coarse = k * max(1, rerank_factor)
+    allowed = _sorted_ids(filter_ext_ids)
+    tomb = _ann_tombstones(spark, cat)
 
     def scan(key, sqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
@@ -498,7 +577,14 @@ def ann_topk_sq(
         fr = fp.iloc[0]
         x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
-        cand = np.argsort(-coarse, kind="stable")[:m_coarse]
+        mask = _accept_mask(ids, allowed, tomb)
+        if mask is None:
+            cand = np.argsort(-coarse, kind="stable")[:m_coarse]
+        else:
+            ok = np.flatnonzero(mask)
+            if ok.size == 0:
+                return empty
+            cand = ok[np.argsort(-coarse[ok], kind="stable")[:m_coarse]]
         s = _scores(x[cand], q, "l2")
         top = np.argsort(-s, kind="stable")[:k]
         return pd.DataFrame(
@@ -524,17 +610,21 @@ def ann_topk_bq(
     query: list[float] | np.ndarray,
     k: int = 10,
     cfg: IndexConfig | None = None,
+    filter_ext_ids=None,
 ) -> DataFrame:
     """Top-k over binary-quantized codes by Hamming distance (the
     coarse/compressed search path of the BQ format). Approximate —
     validated by containment against the exact oracle, like the
-    reference's quantized-format tests (TestQuantizedVectorsFormats)."""
+    reference's quantized-format tests (TestQuantizedVectorsFormats).
+    Pre-filter + tombstones restrict candidates BEFORE the top-k cut."""
     cfg = cfg or IndexConfig()
     q = np.asarray(query, dtype=np.float32)
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, hamming int")
     bq = cat.read(spark, "ann_bq")
     flat = cat.read(spark, "ann_flat").select("segment_id", "ext_ids")
+    allowed = _sorted_ids(filter_ext_ids)
+    tomb = _ann_tombstones(spark, cat)
     from pyspark.sql import functions as F2
 
     def scan(key, bqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
@@ -556,6 +646,11 @@ def ann_topk_bq(
         ids = np.frombuffer(fp.iloc[0]["ext_ids"], np.int64)
         qbits = np.packbits(q > centroid)
         ham = np.unpackbits(codes ^ qbits[None, :], axis=1).sum(1)
+        mask = _accept_mask(ids, allowed, tomb)
+        if mask is not None:
+            ids, ham = ids[mask], ham[mask]
+            if ids.size == 0:
+                return empty
         top = np.lexsort((ids, ham))[:k]
         return pd.DataFrame(
             {"segment_id": int(r["segment_id"]), "ext_id": ids[top],
@@ -647,18 +742,22 @@ def ann_topk_pq(
     k: int = 10,
     cfg: IndexConfig | None = None,
     rerank_factor: int = 3,
+    filter_ext_ids=None,
 ) -> DataFrame:
     """PQ ADC search: per segment, build the (pq_dim × 2^bits) query LUT,
     score all codes with one fancy-index sum, take the coarse top
     ``k·rerank_factor``, rescore those EXACTLY from the flat storage in
     the same cogrouped pass. Approximate → containment-validated; returned
-    scores are exact 1/(1+d) L2."""
+    scores are exact 1/(1+d) L2. Pre-filter + tombstones restrict the
+    coarse candidate pool (filtered-search contract on every format)."""
     cfg = cfg or IndexConfig()
     _validate_metric(cat, "l2")
     q = np.asarray(query, dtype=np.float32)
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")
     m_coarse = k * max(1, rerank_factor)
+    allowed = _sorted_ids(filter_ext_ids)
+    tomb = _ann_tombstones(spark, cat)
 
     def scan(key, pqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
@@ -681,7 +780,14 @@ def ann_topk_pq(
         fr = fp.iloc[0]
         x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
-        cand = np.argsort(approx, kind="stable")[:m_coarse]
+        mask = _accept_mask(ids, allowed, tomb)
+        if mask is None:
+            cand = np.argsort(approx, kind="stable")[:m_coarse]
+        else:
+            ok = np.flatnonzero(mask)
+            if ok.size == 0:
+                return empty
+            cand = ok[np.argsort(approx[ok], kind="stable")[:m_coarse]]
         s = _scores(x[cand], q, "l2")
         top = np.argsort(-s, kind="stable")[:k]
         return pd.DataFrame(
@@ -785,13 +891,21 @@ def merge_ann(
     rebuild via the flush path). The merged index keeps the configured
     ``rows_per_segment`` — at scale the merge yields MANY segments, each
     k-means'd independently in its own task, never one whole-corpus
-    single-task rebuild."""
+    single-task rebuild.
+
+    ``tombstone_ext_ids`` defaults to the catalog's own ``ann_tombstones``
+    table (registered by :func:`delete_ann`); the table is cleared after
+    the rebuild since the deleted rows are now physically gone (M5)."""
     cfg = cfg or IndexConfig()
-    tomb = (
-        np.array(sorted(tombstone_ext_ids), dtype=np.int64)
-        if tombstone_ext_ids
-        else None
-    )
+    if tombstone_ext_ids is None:
+        arr = _ann_tombstones(spark, cat)
+        tomb = arr if arr is not None and arr.size else None
+    else:
+        tomb = (
+            np.array(sorted(tombstone_ext_ids), dtype=np.int64)
+            if tombstone_ext_ids
+            else None
+        )
 
     def explode_flat(it):
         # distributed un-packing of the flat blobs back into rows — the
@@ -820,6 +934,13 @@ def merge_ann(
         build_ann_graph(spark, cat, cfg)
     if cat.exists("ann_pq"):
         build_ann_pq(spark, cat, cfg)
+    if tomb is not None and cat.exists("ann_tombstones"):
+        # tombstoned rows are physically gone — clear the set (M5)
+        cat.write(
+            spark.createDataFrame([], "ext_id long"),
+            "ann_tombstones",
+            lineage={"n": 0},
+        )
 
 
 def knn_join_ivf(
@@ -849,12 +970,27 @@ def knn_join_ivf(
     Approximate (probe recall), validated by containment against the exact
     oracle like the reference's randomized search tests."""
     metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
-    ivf = cat.read(spark, "ann_ivf")
-    crows = _centroid_rows(spark, cat)
-    if not crows:
+    ivf = cat.read(spark, "ann_ivf") if cat.exists("ann_ivf") else None
+    crows = _centroid_rows(spark, cat) if ivf is not None else []
+    # B2 degradation ladder: segments too small for an IVF index are
+    # brute-forced — every query probes them as one pseudo-list (-2), so
+    # their vectors are reachable exactly like ann_topk's bf fallback
+    bf_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
+        "bf_fallback_segments"
+    )
+    if bf_segs is None:
+        flat_seg = {
+            r["segment_id"]
+            for r in cat.read(spark, "ann_flat").select("segment_id").collect()
+        }
+        ivf_seg = {int(r["segment_id"]) for r in crows}
+        bf_segs = sorted(flat_seg - ivf_seg)
+    bf_segs = [int(s) for s in bf_segs]
+    if not crows and not bf_segs:
         return spark.createDataFrame(
             [], "q_id long, vec_id long, score double, rank int"
         )
+    tomb = _ann_tombstones(spark, cat)
     # compact centroid pack, broadcast to the distributed probe pass —
     # the query side is NEVER collected to the driver
     cent_pack = []
@@ -895,6 +1031,15 @@ def knn_join_ivf(
                         "q_vec": list(np.repeat(qb, npb, axis=0)),
                     }
                 )
+            for seg in bf_segs:  # every query scans the index-less segments
+                yield pd.DataFrame(
+                    {
+                        "segment_id": seg,
+                        "list_id": np.int32(-2),
+                        "q_id": qi_ids,
+                        "q_vec": list(qb),
+                    }
+                )
 
     pairs = q.mapInPandas(
         probe_fn, "segment_id long, list_id int, q_id long, q_vec array<double>"
@@ -905,7 +1050,21 @@ def knn_join_ivf(
     bundle = pairs.groupBy("segment_id", "list_id").agg(
         F.collect_list(F.struct("q_id", "q_vec")).alias("qs")
     )
-    sel = ivf.filter(F.col("list_id") >= 0).join(bundle, ["segment_id", "list_id"])
+    lists = ivf.filter(F.col("list_id") >= 0) if ivf is not None else None
+    if bf_segs:
+        flat_lists = (
+            cat.read(spark, "ann_flat")
+            .filter(F.col("segment_id").isin(bf_segs))
+            .select(
+                "segment_id",
+                F.lit(-2).cast("int").alias("list_id"),
+                F.col("n_vecs").alias("n"),
+                "ext_ids",
+                "vectors",
+            )
+        )
+        lists = flat_lists if lists is None else lists.unionByName(flat_lists)
+    sel = lists.join(bundle, ["segment_id", "list_id"])
 
     def score(it):
         for pdf in it:
@@ -913,6 +1072,12 @@ def knn_join_ivf(
                 dim = len(r.qs[0]["q_vec"])
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n, dim)
                 ids = np.frombuffer(r.ext_ids, np.int64)
+                if tomb is not None:
+                    live = ~_member_mask(ids, tomb)
+                    if not live.all():
+                        ids, x = ids[live], x[live]
+                        if ids.size == 0:
+                            continue
                 qids_h = np.array([s["q_id"] for s in r.qs], dtype=np.int64)
                 qs = np.array([s["q_vec"] for s in r.qs], dtype=np.float64)
                 x64 = x.astype(np.float64)

@@ -135,60 +135,116 @@ def build_ann_graph(
     cat.mark_stage("ann_graph")
 
 
-def _greedy_search(
+def _beam_search(
     x: np.ndarray,
     q: np.ndarray,
     offsets: np.ndarray,
     graph: bytes,
     k: int,
     ef: int,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Best-first beam over one segment's graph → (node ids, squared L2)."""
-    import heapq
+    accept: np.ndarray | None = None,
+    visited_limit: int | None = None,
+    batch: int = 8,
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Batched best-first beam over one segment's graph →
+    (node ids, squared L2, early_terminated).
 
+    - The frontier expands up to ``batch`` nodes per iteration with ONE
+      vectorized distance evaluation over all their unvisited neighbors —
+      no per-neighbor Python heap operations in the hot loop.
+    - ``accept``: optional bool mask over nodes; only accepted nodes enter
+      the RESULT set, while navigation still crosses unaccepted nodes so a
+      selective filter cannot disconnect the graph (Lucene's
+      acceptDocs-in-collector semantics).
+    - ``visited_limit``: max nodes scored (entry sweep included). On
+      exhaustion the beam stops and reports early termination — the
+      collector visit budget of ``GPUPerLeafCuVSKnnCollector.java:26-38`` /
+      ``CuVS2510GPUVectorsReader.java:500-519``.
+    """
     n = x.shape[0]
     x64 = x.astype(np.float64)
     q64 = q.astype(np.float64)
+    budget = n if visited_limit is None else max(1, int(visited_limit))
 
     def dist(nodes: np.ndarray) -> np.ndarray:
         diff = x64[nodes] - q64[None, :]
-        return (diff * diff).sum(1)
+        return np.einsum("ij,ij->i", diff, diff)
 
     # coarse-layer analogue: deterministic sqrt-stride entry sweep
     stride = max(1, int(n / max(np.sqrt(n), 1.0)))
     entry_nodes = np.arange(0, n, stride, dtype=np.int64)
+    early = False
+    if entry_nodes.size > budget:
+        entry_nodes = entry_nodes[:budget]
+        early = True
     ed = dist(entry_nodes)
-    entry = int(entry_nodes[ed.argmin()])
-
     visited = np.zeros(n, dtype=bool)
-    visited[entry] = True
-    d0 = float(dist(np.array([entry]))[0])
-    cand: list[tuple[float, int]] = [(d0, entry)]  # min-heap by distance
-    best: list[tuple[float, int]] = [(-d0, entry)]  # max-heap (neg) of top-ef
-    while cand:
-        d, node = heapq.heappop(cand)
-        if len(best) >= ef and d > -best[0][0]:
-            break  # closest frontier node is worse than the ef-th best
-        lo, hi = int(offsets[node]), int(offsets[node + 1])
-        if hi <= lo:
+    visited[entry_nodes] = True
+    nvis = int(entry_nodes.size)
+
+    # results hold ACCEPTED nodes only; frontier holds everything visited
+    if accept is None:
+        res_n, res_d = entry_nodes.copy(), ed.copy()
+    else:
+        m = accept[entry_nodes]
+        res_n, res_d = entry_nodes[m], ed[m]
+    cand_n, cand_d = entry_nodes.copy(), ed.copy()
+
+    while cand_n.size and not early:
+        bound = (
+            np.partition(res_d, ef - 1)[ef - 1] if res_d.size >= ef else np.inf
+        )
+        b = min(batch, cand_n.size)
+        pop = (
+            np.argpartition(cand_d, b - 1)[:b] if cand_n.size > b
+            else np.arange(cand_n.size)
+        )
+        pop_n, pop_d = cand_n[pop], cand_d[pop]
+        live = pop_d <= bound
+        if not live.any():
+            break  # closest frontier nodes are all worse than the ef-th best
+        keep = np.ones(cand_n.size, dtype=bool)
+        keep[pop] = False
+        cand_n, cand_d = cand_n[keep], cand_d[keep]
+        # decode the popped nodes' neighbor lists (≤batch varint blocks)
+        nbr_parts = []
+        for node in pop_n[live]:
+            lo, hi = int(offsets[node]), int(offsets[node + 1])
+            if hi > lo:
+                nbr_parts.append(
+                    np.cumsum(varint_decode(graph[lo:hi]), dtype=np.int64)
+                )
+        if not nbr_parts:
             continue
-        nbr = np.cumsum(varint_decode(graph[lo:hi]), dtype=np.int64)
+        nbr = np.concatenate(nbr_parts)
         nbr = nbr[~visited[nbr]]
         if nbr.size == 0:
             continue
+        nbr = np.unique(nbr)
+        if nvis + nbr.size > budget:
+            nbr = nbr[: budget - nvis]
+            early = True
+        if nbr.size == 0:
+            break
         visited[nbr] = True
+        nvis += nbr.size
         nd = dist(nbr)
-        for dd, nn in zip(nd, nbr):
-            if len(best) < ef or dd < -best[0][0]:
-                heapq.heappush(cand, (float(dd), int(nn)))
-                heapq.heappush(best, (-float(dd), int(nn)))
-                if len(best) > ef:
-                    heapq.heappop(best)
-    out = sorted(((-nd, node) for nd, node in best))[:k]
-    return (
-        np.array([node for _, node in out], dtype=np.int64),
-        np.array([d for d, _ in out], dtype=np.float64),
-    )
+        within = nd <= bound if np.isfinite(bound) else np.ones(nd.size, bool)
+        cand_n = np.concatenate([cand_n, nbr[within]])
+        cand_d = np.concatenate([cand_d, nd[within]])
+        acc = within if accept is None else (within & accept[nbr])
+        res_n = np.concatenate([res_n, nbr[acc]])
+        res_d = np.concatenate([res_d, nd[acc]])
+        # periodic compression keeps both sets O(ef)
+        if cand_n.size > 4 * ef:
+            topc = np.argpartition(cand_d, ef - 1)[:ef]
+            cand_n, cand_d = cand_n[topc], cand_d[topc]
+        if res_n.size > 4 * ef:
+            topr = np.argpartition(res_d, ef - 1)[:ef]
+            res_n, res_d = res_n[topr], res_d[topr]
+
+    sel = np.lexsort((res_n, res_d))[:k]
+    return res_n[sel], res_d[sel], early
 
 
 def ann_topk_graph(
@@ -198,42 +254,81 @@ def ann_topk_graph(
     k: int = 10,
     cfg: IndexConfig | None = None,
     ef: int | None = None,
+    filter_ext_ids=None,
+    visited_limit: int | None = None,
 ) -> DataFrame:
     """Graph top-k (L2): per-segment greedy beam → global top-k.
-    ``ef`` defaults to ``max(k + overfetch, 64)`` (iTopK ≥ topK, O5)."""
+    ``ef`` defaults to ``max(k + overfetch, 64)`` (iTopK ≥ topK, O5).
+
+    - ``filter_ext_ids`` + ANN tombstones apply as acceptDocs in the
+      collector: the beam navigates the full graph, only accepted nodes
+      are collected (filtered behavior on every format, S10).
+    - ``visited_limit``: per-leaf visit budget — a tiny budget degrades
+      recall but never errors (the reference collector's
+      visitedLimit/earlyTerminated contract).
+    - Segments present in ``ann_flat`` but absent from ``ann_graph``
+      (oversized for the NN_DESCENT build, O1) are brute-forced from the
+      flat storage in the same cogrouped pass — every vector is reachable
+      in graph mode, like ann_topk's B2 fallback ladder."""
     cfg = cfg or IndexConfig()
-    from cuvs_lucene_spark.operators.ann import _validate_metric
+    from cuvs_lucene_spark.operators.ann import (
+        _accept_mask,
+        _ann_tombstones,
+        _sorted_ids,
+        _validate_metric,
+    )
 
     _validate_metric(cat, "l2")
     q = np.asarray(query, dtype=np.float32)
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")
     eff = ef or max(k + cfg.overfetch, 64)
+    allowed = _sorted_ids(filter_ext_ids)
+    tomb = _ann_tombstones(spark, cat)
 
     def scan(key, gp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
             {"segment_id": "int64", "ext_id": "int64", "score": "float64"}
         )
-        if gp.empty or fp.empty:
+        if fp.empty:
             return empty
-        g = gp.iloc[0]
         fr = fp.iloc[0]
-        n = int(g["n_nodes"])
+        n = int(fr["n_vecs"])
         if n == 0:
             return empty
         x = np.frombuffer(fr["vectors"], np.float32).reshape(n, -1)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
+        accept = _accept_mask(ids, allowed, tomb)
+        seg = int(fr["segment_id"])
+        if gp.empty:
+            # B2 fallback: no graph row (segment above the NN_DESCENT
+            # threshold) → exact scan of the flat blob, accept-filtered
+            ok = np.arange(n) if accept is None else np.flatnonzero(accept)
+            if ok.size == 0:
+                return empty
+            d2 = ((x[ok].astype(np.float64) - q.astype(np.float64)[None, :]) ** 2).sum(1)
+            sel = np.lexsort((ids[ok], d2))[:k]
+            return pd.DataFrame(
+                {"segment_id": seg, "ext_id": ids[ok][sel],
+                 "score": 1.0 / (1.0 + d2[sel])}
+            )
+        g = gp.iloc[0]
         if n == 1:
+            if accept is not None and not accept[0]:
+                return empty
             d = float(((x[0].astype(np.float64) - q.astype(np.float64)) ** 2).sum())
             return pd.DataFrame(
-                {"segment_id": [int(g["segment_id"])], "ext_id": [int(ids[0])],
+                {"segment_id": [seg], "ext_id": [int(ids[0])],
                  "score": [1.0 / (1.0 + d)]}
             )
         offsets = np.frombuffer(g["offsets"], "<u8")
-        nodes, d2 = _greedy_search(x, q, offsets, bytes(g["graph"]), k, eff)
+        nodes, d2, _early = _beam_search(
+            x, q, offsets, bytes(g["graph"]), k, eff,
+            accept=accept, visited_limit=visited_limit,
+        )
         return pd.DataFrame(
             {
-                "segment_id": int(g["segment_id"]),
+                "segment_id": seg,
                 "ext_id": ids[nodes],
                 "score": 1.0 / (1.0 + d2),  # S5 normalization
             }

@@ -1,0 +1,169 @@
+"""Filtered search + deletes across EVERY ANN format, visit budgets, and
+the brute-force fallback ladders.
+
+Reference contract: acceptDocs (filters + liveDocs) apply inside every
+reader's search — all formats share the filtered query path
+(``CuVS2510GPUVectorsReader.java:418-434``, ``TestCuVSGaps.java:146-170``);
+deleted documents are never returned by any mode (the
+TestCuVSDeletedDocuments methodology); the per-leaf collector honors a
+visit budget (``GPUPerLeafCuVSKnnCollector.java:26-38``)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.config import IndexConfig
+from cuvs_lucene_spark.operators.ann import (
+    ann_topk,
+    ann_topk_bq,
+    ann_topk_pq,
+    ann_topk_sq,
+    build_ann,
+    build_ann_pq,
+    delete_ann,
+    knn_join_ivf,
+    merge_ann,
+)
+from cuvs_lucene_spark.operators.ann_graph import ann_topk_graph, build_ann_graph
+
+CFG = IndexConfig()
+N, DIM = 600, 16
+
+
+@pytest.fixture(scope="module")
+def xdata():
+    rng = np.random.default_rng(31)
+    return rng.normal(size=(N, DIM)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def acat(spark, tmp_path_factory, xdata):
+    df = spark.createDataFrame(
+        [(i, xdata[i].tolist()) for i in range(N)],
+        "vec_id long, embedding array<float>",
+    )
+    cat = build_ann(
+        spark, df, str(tmp_path_factory.mktemp("annf")), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=150,
+    )
+    build_ann_graph(spark, cat, CFG)
+    build_ann_pq(spark, cat, CFG)
+    return cat
+
+
+def _exact_ids(x, q, k, subset=None):
+    idx = np.arange(x.shape[0]) if subset is None else np.asarray(sorted(subset))
+    d = ((x[idx].astype(np.float64) - np.asarray(q, np.float64)) ** 2).sum(1)
+    return [int(idx[i]) for i in np.lexsort((idx, d))[:k]]
+
+
+def _all_modes(spark, cat, q, k, flt=None):
+    """Every search mode → {mode: [ext_id, ...]}."""
+    fset = None if flt is None else set(flt)
+    return {
+        "exact": [r["ext_id"] for r in ann_topk(
+            spark, cat, q, k=k, cfg=CFG, mode="exact", filter_ext_ids=fset).collect()],
+        "ivf": [r["ext_id"] for r in ann_topk(
+            spark, cat, q, k=k, cfg=CFG, mode="ivf", filter_ext_ids=fset).collect()],
+        "sq": [r["ext_id"] for r in ann_topk_sq(
+            spark, cat, q, k=k, cfg=CFG, filter_ext_ids=fset).collect()],
+        "pq": [r["ext_id"] for r in ann_topk_pq(
+            spark, cat, q, k=k, cfg=CFG, filter_ext_ids=fset).collect()],
+        "bq": [r["ext_id"] for r in ann_topk_bq(
+            spark, cat, q, k=k, cfg=CFG, filter_ext_ids=fset).collect()],
+        "graph": [r["ext_id"] for r in ann_topk_graph(
+            spark, cat, q, k=k, cfg=CFG, filter_ext_ids=fset).collect()],
+    }
+
+
+def test_filter_applies_to_every_mode(spark, acat, xdata):
+    """Pre-filter semantics on ALL formats: results ⊆ filter, and the
+    exact modes return exactly the filtered true top-k."""
+    q = xdata[7]
+    flt = list(range(0, N, 2))  # even ids only
+    res = _all_modes(spark, acat, q, 5, flt=flt)
+    for mode, ids in res.items():
+        assert set(ids) <= set(flt), f"{mode} leaked a filtered-out id"
+        assert len(ids) == 5, f"{mode} returned {len(ids)} rows"
+    assert res["exact"] == _exact_ids(xdata, q, 5, subset=flt)
+
+
+def test_deleted_never_returned_by_any_mode(spark, acat, xdata):
+    """TestCuVSDeletedDocuments analogue: tombstone the TRUE top-3 of a
+    query, then no mode may return any of them — on every format."""
+    q = xdata[7]
+    doomed = _exact_ids(xdata, q, 3)
+    assert 7 in doomed
+    n = delete_ann(spark, acat, doomed)
+    assert n == 3
+    try:
+        res = _all_modes(spark, acat, q, 5)
+        for mode, ids in res.items():
+            assert not (set(ids) & set(doomed)), f"{mode} returned a deleted id"
+            assert len(ids) == 5
+        # exact mode returns the true top-k among the survivors
+        alive = [i for i in range(N) if i not in set(doomed)]
+        assert res["exact"] == _exact_ids(xdata, q, 5, subset=alive)
+        # kNN join honors tombstones too
+        qdf = spark.createDataFrame([(0, xdata[7].tolist())], "q_id long, q_vec array<float>")
+        jids = {r["vec_id"] for r in knn_join_ivf(spark, acat, qdf, k=5).collect()}
+        assert not (jids & set(doomed))
+    finally:
+        # merge_ann consumes + clears the tombstones (M5) — restores the
+        # module-scoped index for later tests, and asserts the clearing
+        merge_ann(spark, acat, CFG, rows_per_segment=150)
+        assert acat.table_lineage("ann_tombstones").get("n") == 0
+    # physically removed: exact search never sees them again
+    post = [r["ext_id"] for r in ann_topk(spark, acat, q, k=5, cfg=CFG, mode="exact").collect()]
+    assert not (set(post) & set(doomed))
+
+
+def test_visited_limit_degrades_never_errors(spark, acat, xdata):
+    q = xdata[42]
+    full = [r["ext_id"] for r in ann_topk_graph(spark, acat, q, k=5, cfg=CFG).collect()]
+    assert len(full) == 5
+    # a tiny per-leaf budget still returns rows (≤k) without erroring
+    tiny = [r["ext_id"] for r in ann_topk_graph(
+        spark, acat, q, k=5, cfg=CFG, visited_limit=4).collect()]
+    assert 0 < len(tiny) <= 5
+    # a generous budget reproduces the unbudgeted result
+    big = [r["ext_id"] for r in ann_topk_graph(
+        spark, acat, q, k=5, cfg=CFG, visited_limit=10**9).collect()]
+    assert big == full
+
+
+def test_graph_bf_fallback_for_graphless_segment(spark, acat, xdata):
+    """A segment with no graph row (the >NN_DESCENT_THRESHOLD shape) is
+    brute-forced from ann_flat — its vectors stay reachable in graph mode."""
+    q = xdata[442]
+    # ground truth from the engine's own exact path (reflects any deletes
+    # applied by earlier tests); its top hit lives in segment 442//150 = 2
+    top1 = ann_topk(spark, acat, q, k=1, cfg=CFG, mode="exact").collect()[0]["ext_id"]
+    seg = int(top1) // 150
+    pruned = acat.read(spark, "ann_graph").filter(F.col("segment_id") != seg)
+    acat.write(pruned, "ann_graph")
+    try:
+        got = [r["ext_id"] for r in ann_topk_graph(spark, acat, q, k=3, cfg=CFG).collect()]
+        assert got[0] == top1  # nearest lives in the graph-less segment
+    finally:
+        build_ann_graph(spark, acat, CFG)  # restore for other tests
+
+
+def test_knn_join_ivf_bf_fallback(spark, tmp_path, xdata):
+    """A segment below min_ann_index_size has no IVF lists; knn_join_ivf
+    must still reach its vectors (the -2 pseudo-list branch)."""
+    n = 301  # segments of 150/150/1 — the last is below min_ann_index_size
+    df = spark.createDataFrame(
+        [(i, xdata[i % N].tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    cat = build_ann(
+        spark, df, str(tmp_path / "bf"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=150,
+    )
+    assert cat.read_manifest()["stages"]["ann_ivf"]["bf_fallback_segments"] == [2]
+    qdf = spark.createDataFrame(
+        [(0, xdata[300 % N].tolist())], "q_id long, q_vec array<float>"
+    )
+    got = [r["vec_id"] for r in knn_join_ivf(spark, cat, qdf, k=3).collect()]
+    assert 300 in got  # the fallback segment's vector is reachable
