@@ -255,7 +255,9 @@ def build_ann(
         r["segment_id"] for r in flat_df.select("segment_id").collect()
     }
     cat.mark_stage(
-        "ann_ivf", bf_fallback_segments=sorted(int(s) for s in flat_segs - ivf_segs)
+        "ann_ivf",
+        bf_fallback_segments=sorted(int(s) for s in flat_segs - ivf_segs),
+        n_ivf_segments=len(ivf_segs),
     )
     cat.mark_stage("ann_build")
     return cat
@@ -369,6 +371,7 @@ def ann_topk(
     mode: str = "auto",
     nprobe: int | None = None,
     filter_ext_ids: set[int] | None = None,
+    probe_mode: str = "auto",
 ) -> DataFrame:
     """Top-k nearest vectors → DataFrame(ext_id, score), score desc.
 
@@ -377,14 +380,28 @@ def ann_topk(
 
     IVF probing is two small jobs, not one full-table pass: (1) scan ONLY
     the centroid rows (``list_id = -1`` — pushed to the parquet scan, the
-    blob column of list rows is never read), rank lists per segment on the
-    driver; (2) scan ``ann_ivf`` with a pushed ``list_id IN (...)`` filter
-    plus an exact (segment_id, list_id) broadcast semi-join, scoring each
-    selected list row independently (no shuffle). Segments too small to
-    have an IVF index (B2 fallback) are brute-forced from ``ann_flat`` via
-    the build-time ``bf_fallback_segments`` manifest list and unioned in —
-    every vector is reachable in every mode, like the reference's per-leaf
-    routing.
+    blob column of list rows is never read) and rank lists per segment;
+    (2) scan ``ann_ivf`` restricted to the probed (segment_id, list_id)
+    pairs, scoring each selected list row independently (no shuffle).
+    Segments too small to have an IVF index (B2 fallback) are brute-forced
+    from ``ann_flat`` via the build-time ``bf_fallback_segments`` manifest
+    list and unioned in — every vector is reachable in every mode, like
+    the reference's per-leaf routing.
+
+    ``probe_mode`` picks where step (1) ranks lists:
+
+    - ``driver`` — centroid rows are collected ONCE (memoized per manifest
+      version) into a flat numpy pack; per query the ranking is ONE
+      vectorized pass over the concatenated centroid matrix (no Python
+      loop over segments), and the probed pairs reach the list scan as a
+      pushed ``list_id IN`` filter + broadcast semi-join. Latency-optimal;
+      driver memory ∝ total centroids.
+    - ``distributed`` — the ranking runs inside a ``mapInPandas`` over the
+      pruned centroid scan and the pairs join the list rows as a
+      left-semi (AQE picks broadcast vs shuffled hash by pair count). NO
+      driver-side state grows with segment count — the 10⁶-segment path.
+    - ``auto`` — ``driver`` while the build-time segment count is at most
+      ``PROBE_DRIVER_MAX_SEGMENTS``, else ``distributed``.
     """
     cfg = cfg or IndexConfig()
     ann = cfg.ann
@@ -426,38 +443,88 @@ def ann_topk(
                     {"segment_id": r.segment_id, "ext_id": ids[top], "score": s[top]}
                 )
 
-    crows: list = []
-    if use_ivf and cat.exists("ann_ivf"):
+    if use_ivf and not cat.exists("ann_ivf"):
+        use_ivf = False
+    if use_ivf:
         ivf = cat.read(spark, "ann_ivf")
         dim = q.size
-        # job 1: centroid rows only — pushed filter on list_id, column-
-        # pruned; memoized per manifest version so a repeat query pays
-        # only the probed-list scan job
-        crows = _centroid_rows(spark, cat)
-        if not crows:
-            use_ivf = False
-    if use_ivf and crows:
-        pairs: list[tuple[int, int]] = []
-        for r in crows:
-            n_lists = int(r["n"])
-            cents = np.frombuffer(r["vectors"], np.float32).reshape(n_lists, dim)
-            raw = r["ext_ids"]
-            n_total = (
-                int(np.frombuffer(raw, np.int64)[0]) if raw else n_lists * 2000
-            )
-            npb = nprobe or max(
-                1, min(n_lists, ivf_pq_params(n_total, dim)["n_probes"])
-            )
-            cd = ((cents.astype(np.float64) - q.astype(np.float64)[None, :]) ** 2).sum(1)
-            for li in np.argsort(cd, kind="stable")[:npb]:
-                pairs.append((int(r["segment_id"]), int(li)))
-        probe_lists = sorted({li for _, li in pairs})
-        pairs_df = spark.createDataFrame(pairs, "segment_id long, list_id int")
-        # job 2: pushed list_id IN (...) prunes row groups at the scan;
-        # the broadcast semi-join restricts to the exact probed pairs
-        sel = ivf.filter(F.col("list_id").isin(probe_lists)).join(
-            F.broadcast(pairs_df), ["segment_id", "list_id"], "left_semi"
+        n_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
+            "n_ivf_segments"
         )
+        distributed = probe_mode == "distributed" or (
+            probe_mode == "auto"
+            and n_segs is not None
+            and n_segs > PROBE_DRIVER_MAX_SEGMENTS
+        )
+        sel = None
+        if distributed:
+            # probe ranking runs NEXT TO the pruned centroid scan; only
+            # (segment_id, list_id) pairs flow onward — zero driver state
+            fixed_npb = nprobe
+
+            def probe(it):
+                for pdf in it:
+                    for r in pdf.itertuples():
+                        n_lists = int(r.n)
+                        cents = np.frombuffer(r.vectors, np.float32).reshape(n_lists, dim)
+                        raw = r.ext_ids
+                        n_total = (
+                            int(np.frombuffer(raw, np.int64)[0])
+                            if raw else n_lists * 2000
+                        )
+                        npb = fixed_npb or max(
+                            1, min(n_lists, ivf_pq_params(n_total, dim)["n_probes"])
+                        )
+                        cd = (
+                            (cents.astype(np.float64) - q.astype(np.float64)[None, :]) ** 2
+                        ).sum(1)
+                        take = np.argsort(cd, kind="stable")[:npb]
+                        yield pd.DataFrame(
+                            {"segment_id": r.segment_id,
+                             "list_id": take.astype(np.int32)}
+                        )
+
+            pairs_df = (
+                ivf.filter(F.col("list_id") == -1)
+                .select("segment_id", "n", "ext_ids", "vectors")
+                .mapInPandas(probe, "segment_id long, list_id int")
+            )
+            sel = ivf.filter(F.col("list_id") >= 0).join(
+                pairs_df, ["segment_id", "list_id"], "left_semi"
+            )
+        else:
+            # centroid pack collected once (memoized); ranking is ONE
+            # vectorized pass over the concatenated centroid matrix —
+            # no per-segment Python loop on the query path
+            pack = _centroid_pack(spark, cat)
+            if pack is None:
+                use_ivf = False
+            else:
+                cd = ((pack["C"].astype(np.float64) - q.astype(np.float64)[None, :]) ** 2).sum(1)
+                npb_row = (
+                    np.minimum(pack["n_lists_row"], int(nprobe))
+                    if nprobe else pack["npb_row"]
+                )
+                o = np.lexsort((cd, pack["seg_row"]))
+                seg_s = pack["seg_row"][o]
+                starts = np.r_[0, np.flatnonzero(seg_s[1:] != seg_s[:-1]) + 1]
+                counts = np.diff(np.r_[starts, seg_s.size])
+                grp = np.repeat(np.arange(starts.size), counts)
+                rank = np.arange(seg_s.size) - starts[grp]
+                keep = rank < npb_row[o]
+                segs_keep = seg_s[keep]
+                lists_keep = pack["lst_row"][o][keep]
+                probe_lists = sorted(set(int(x) for x in lists_keep))
+                pairs_df = spark.createDataFrame(
+                    list(zip(segs_keep.tolist(), lists_keep.tolist())),
+                    "segment_id long, list_id int",
+                )
+                # pushed list_id IN (...) prunes row groups at the scan;
+                # the broadcast semi-join restricts to the exact pairs
+                sel = ivf.filter(F.col("list_id").isin(probe_lists)).join(
+                    F.broadcast(pairs_df), ["segment_id", "list_id"], "left_semi"
+                )
+    if use_ivf and sel is not None:
 
         def score_lists(it):
             for pdf in it:
@@ -494,6 +561,49 @@ def ann_topk(
         .limit(k)
         .select("ext_id", "score")
     )
+
+
+PROBE_DRIVER_MAX_SEGMENTS = 4096  # above this, probe ranking leaves the driver
+
+
+def _centroid_pack(spark: SparkSession, cat: IndexCatalog) -> dict | None:
+    """Flat numpy pack of every segment's centroids for the vectorized
+    driver-side probe: C (ΣL, dim) float32, row-aligned seg_row / lst_row /
+    n_lists_row / npb_row (default n_probes per the reference heuristic).
+    Memoized per manifest version. None when no segment has an IVF index."""
+    m = cat.read_manifest()
+    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
+    memo = getattr(cat, "_centroid_pack_memo", None)
+    if memo is not None and memo["ver"] == ver:
+        return memo["pack"]
+    rows = _centroid_rows(spark, cat)
+    pack = None
+    if rows:
+        mats, segs, lsts, nls, npbs = [], [], [], [], []
+        for r in rows:
+            n_lists = int(r["n"])
+            cents = np.frombuffer(r["vectors"], np.float32).reshape(n_lists, -1)
+            raw = r["ext_ids"]
+            n_total = (
+                int(np.frombuffer(raw, np.int64)[0]) if raw else n_lists * 2000
+            )
+            npb = max(
+                1, min(n_lists, ivf_pq_params(n_total, cents.shape[1])["n_probes"])
+            )
+            mats.append(cents)
+            segs.append(np.full(n_lists, int(r["segment_id"]), np.int64))
+            lsts.append(np.arange(n_lists, dtype=np.int32))
+            nls.append(np.full(n_lists, n_lists, np.int32))
+            npbs.append(np.full(n_lists, npb, np.int32))
+        pack = {
+            "C": np.concatenate(mats),
+            "seg_row": np.concatenate(segs),
+            "lst_row": np.concatenate(lsts),
+            "n_lists_row": np.concatenate(nls),
+            "npb_row": np.concatenate(npbs),
+        }
+    cat._centroid_pack_memo = {"ver": ver, "pack": pack}
+    return pack
 
 
 def _centroid_rows(spark: SparkSession, cat: IndexCatalog) -> list:

@@ -119,3 +119,29 @@ def test_whole_stage_codegen_on_text_ops(spark):
     # pure Catalyst expressions: no Python eval nodes anywhere in the plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Project" in plan
+
+
+def test_ivf_distributed_probe_no_driver_collect(spark, tmp_path, monkeypatch):
+    """probe_mode='distributed' must never materialize centroid state on
+    the driver (the 10⁶-segment path): poison the driver-pack helpers and
+    assert the distributed result matches the driver-ranked one."""
+    import cuvs_lucene_spark.operators.ann as A
+
+    rows = [(i, [float(i % 13), float(i % 7), float(i % 5), 1.0] * 2) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cat = A.build_ann(
+        spark, df, str(tmp_path / "annprobe"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=20,
+    )
+    q = [1.0] * 8
+    want = [(r["ext_id"], round(r["score"], 9)) for r in A.ann_topk(
+        spark, cat, q, k=5, cfg=CFG, mode="ivf", probe_mode="driver").collect()]
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side centroid collect on the distributed path")
+
+    monkeypatch.setattr(A, "_centroid_pack", _boom)
+    monkeypatch.setattr(A, "_centroid_rows", _boom)
+    got = [(r["ext_id"], round(r["score"], 9)) for r in A.ann_topk(
+        spark, cat, q, k=5, cfg=CFG, mode="ivf", probe_mode="distributed").collect()]
+    assert got == want
