@@ -163,10 +163,16 @@ def _score_one_query(
     b: float,
     R: int,
     decoded: dict,
+    visited_limit: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Score one query against one segment with block-max range pruning.
     ``decoded`` is a shared (term, block) → (docs, tfs) cache so batched
-    queries decode every posting block at most once per segment."""
+    queries decode every posting block at most once per segment.
+
+    ``visited_limit`` caps the docs visited per segment (the collector
+    visit budget, ``GPUPerLeafCuVSKnnCollector.java:26-38``): ranges are
+    visited best-bound-first, so an exhausted budget degrades tail recall
+    gracefully — never errors, never drops an already-collected hit."""
     n_docs = dls.size
     norm_denom = k1 * (1.0 - b + b * dls / avgdl)  # per-doc BM25 denominator part
 
@@ -210,12 +216,16 @@ def _score_one_query(
     n_collected = 0
     kth = -np.inf
 
+    n_visited = 0
     for r in order:
         if range_ub[r] <= 0.0:
             break
         if n_collected >= k and range_ub[r] < kth:
             break  # bounded-heap early exit: no doc in r can enter top-k
+        if visited_limit is not None and n_visited >= visited_limit:
+            break  # visit budget exhausted mid-collection (earlyTerminated)
         lo, hi = r * R, min((r + 1) * R, n_docs)
+        n_visited += hi - lo
         acc = np.zeros(hi - lo, dtype=np.float64)
         nterms_hit = np.zeros(hi - lo, dtype=np.int32) if mode == "and" else None
         for t in present:
@@ -281,6 +291,7 @@ def make_scorer(
     allowed_ext: np.ndarray | None = None,
     filter_active: bool = False,
     norms_bc=None,
+    visited_limit: int | None = None,
 ):
     """Build the per-segment scoring UDF (S1 analogue).
 
@@ -332,7 +343,7 @@ def make_scorer(
         per_term = _group_postings(postings, set(terms))
         res = _score_one_query(
             per_term, terms, idf_by_term, dls, ext_ids, alive, avgdl, k, mode,
-            k1, b, R, {},
+            k1, b, R, {}, visited_limit=visited_limit,
         )
         if res is None:
             return empty
@@ -640,9 +651,14 @@ def bm25_topk(
     mode: str = "or",
     cfg: IndexConfig | None = None,
     filter_ext_ids: DataFrame | None = None,
+    visited_limit: int | None = None,
 ) -> DataFrame:
     """BM25 top-k over the index → DataFrame(ext_id, score), exact scores,
-    deterministic tie-break (score desc, ext_id asc)."""
+    deterministic tie-break (score desc, ext_id asc).
+
+    ``visited_limit``: optional per-segment doc-visit budget (collector
+    visitedLimit analogue) — caps worst-case per-leaf latency; a tiny
+    budget degrades recall, never errors."""
     cfg = cfg or IndexConfig()
     terms = list(dict.fromkeys(query_terms))
     if k <= 0 or not terms:
@@ -678,6 +694,7 @@ def bm25_topk(
         scorer = make_scorer(
             list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
             allowed_ext=allowed_ext, norms_bc=norms_bc,
+            visited_limit=visited_limit,
         )
         partials = postings.groupby("segment_id").applyInPandas(
             lambda p: scorer(p, None), SCORE_SCHEMA
@@ -686,6 +703,7 @@ def bm25_topk(
         scorer = make_scorer(
             list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
             allowed_ext=allowed_ext, filter_active=aux_filter is not None,
+            visited_limit=visited_limit,
         )
         aux = _aux_df(spark, cat, aux_filter)
         partials = (

@@ -181,3 +181,28 @@ def test_pruning_equals_exhaustive(spark, cat):
         for r in bm25_topk(spark, cat, ["join", "vector", "dup"], k=10, cfg=cfg_noprune).collect()
     ]
     assert a == b
+
+
+def test_visited_limit_budget(spark, cat):
+    """Collector visit-budget contract (GPUPerLeafCuVSKnnCollector.java:
+    26-38): a generous budget reproduces the exact result; a tiny budget
+    returns a degraded-but-valid subset, never an error."""
+    full = _engine_topk(spark, cat, ["join", "vector"], k=10)
+    big = [
+        (r["ext_id"], round(r["score"], 6))
+        for r in bm25_topk(
+            spark, cat, ["join", "vector"], k=10, cfg=CFG, visited_limit=10**9
+        ).collect()
+    ]
+    assert big == full
+    tiny = bm25_topk(
+        spark, cat, ["join", "vector"], k=10, cfg=CFG, visited_limit=1
+    ).collect()
+    assert 0 <= len(tiny) <= 10
+    # every returned (doc, score) is a true exact score (budget only cuts
+    # which ranges are visited, each visited range is scored completely)
+    exhaustive = {
+        (r["ext_id"], round(r["score"], 6))
+        for r in bm25_topk(spark, cat, ["join", "vector"], k=10**6, cfg=CFG).collect()
+    }
+    assert {(r["ext_id"], round(r["score"], 6)) for r in tiny} <= exhaustive

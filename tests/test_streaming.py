@@ -164,3 +164,42 @@ def test_vector_epochs_keep_graph_pq_consistent_and_merge(spark, tmp_path):
     merge_ann(spark, cat, cfg)  # rebuild collapses epochs; derived follow
     assert cat.read(spark, "ann_flat").count() == 5  # 500 rows / rows_per_segment=100
     check()
+
+
+def test_auto_compaction_bounds_dead_rows(spark, tmp_path):
+    """Long-lived ingest + tiered merges must BOUND the dead-row fraction:
+    logical drops accumulate per merge, and once they exceed
+    cfg.compact_dropped_fraction of the table the merge auto-compacts
+    (Lucene deletes unreferenced segment files; Iceberg
+    rewrite_data_files). 10 epochs + repeated tiered merges → physical
+    segdata rows stay within a constant factor of the logical rows."""
+    import dataclasses
+
+    from cuvs_lucene_spark.operators.merge import merge_segments, pick_merge_groups
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = dataclasses.replace(CFG, merge_fanin=4)
+    cat = IndexCatalog(str(tmp_path / "autocomp"))
+    per = 50
+    for epoch in range(10):
+        batch = docs.filter(
+            (F.col("doc_id") >= epoch * per) & (F.col("doc_id") < (epoch + 1) * per)
+        )
+        incremental_add(spark, cat, batch, cfg, epoch, content_col="text", id_col="doc_id")
+        if epoch % 3 == 2:  # background tiered merge every 3 epochs
+            groups = pick_merge_groups(spark, cat, cfg, max_segment_docs=10**9)
+            if groups:
+                merge_segments(spark, cat, cfg, groups=groups)
+    groups = pick_merge_groups(spark, cat, cfg, max_segment_docs=10**9)
+    if groups:
+        merge_segments(spark, cat, cfg, groups=groups)
+    ent = cat.read_manifest()["tables"]["segdata"]
+    logical = cat.read(spark, "segdata").count()          # drop-filtered view
+    physical = spark.read.parquet(*cat.table_dirs("segdata")).count()
+    assert physical <= 2.0 * logical, (physical, logical, ent.get("dropped_segments"))
+    # and the index still answers correctly vs a batch build of the same docs
+    batch_cat = build_index(
+        spark, docs.filter(F.col("doc_id") < 10 * per), str(tmp_path / "batch10"),
+        cfg, content_col="text", id_col="doc_id",
+    )
+    assert _topk(spark, cat, ["join", "vector"]) == _topk(spark, batch_cat, ["join", "vector"])
