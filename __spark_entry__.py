@@ -91,12 +91,13 @@ ANN_RPS = 200  # ann segment size — the BQ oracle replicates seg = vec_id // A
 
 
 def _ann_index(spark: SparkSession, sf_dir: str):
-    # "ann_v2": format 2 (centroid rows carry n_total; float64 BQ centroid)
-    key = (sf_dir, "ann_v2")
+    # "ann_v3": format 3 (ann_graph rows carry layer/stride for the
+    # multi-layer entry descent; v2 added centroid n_total + float64 BQ)
+    key = (sf_dir, "ann_v3")
     if key in _CATS:
         return _CATS[key]
     cat = build_ann(
-        spark, _embs(spark, sf_dir), _root(sf_dir, "ann_v2"), CFG,
+        spark, _embs(spark, sf_dir), _root(sf_dir, "ann_v3"), CFG,
         id_col="vec_id", vector_col="embedding", rows_per_segment=ANN_RPS,
     )
     if not cat.stage_done("ann_graph"):

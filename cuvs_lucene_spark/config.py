@@ -44,6 +44,13 @@ class AnnParams:
     graph_degree: int = 64
     intermediate_graph_degree: int = 128
     nn_descent_iters: int = 20
+    # multi-layer graph entry (AcceleratedHNSWUtils.createMultiLayerHnswGraph
+    # :101-117,176-229 samples 1/M nodes per upper layer): deterministic
+    # stride-sampled upper layers are built for segments with at least
+    # ``upper_layers_min_nodes`` vectors; below that the √n entry sweep is
+    # cheaper than maintaining layers (documented crossover, BENCH.md)
+    upper_layer_stride: int = 32
+    upper_layers_min_nodes: int = 100_000
     max_dims: int = 4096
     max_k_ann: int = 1024          # k beyond this routes to brute force (S1)
     min_ann_index_size: int = 2    # below this fall back to brute force (B2)

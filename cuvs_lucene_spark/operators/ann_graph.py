@@ -18,13 +18,16 @@ Spark-first restatement:
   ``AcceleratedHNSWUtils.writeGraph:239-289`` + ``writeMeta:350-366``
   (DirectMonotonicWriter offsets), the same codec this engine uses for
   posting lists (B14/B15).
-- **Search** (per leaf, S1): greedy best-first beam over the graph with
+- **Search** (per leaf, S1): batched best-first beam over the graph with
   an ``ef ≥ k`` frontier (the iTopK ≥ topK widening, O5,
-  ``GPUPerLeafCuVSKnnCollector.java:28``). The multi-layer entry descent
-  (reference samples 1/M nodes per upper layer,
-  ``createMultiLayerHnswGraph:101-117``) is mirrored by a deterministic
-  √n-stride entry sweep: scan the stride subset exactly like a coarse
-  layer, start the beam at its argmin. Scores normalize ``1/(1+d)`` (S5).
+  ``GPUPerLeafCuVSKnnCollector.java:28``) honoring an acceptDocs mask and
+  a visit budget. The multi-layer entry descent (reference samples 1/M
+  nodes per upper layer, ``createMultiLayerHnswGraph:101-117``) is
+  mirrored exactly for segments ≥ ``upper_layers_min_nodes``: stride-
+  sampled upper layers with their own kNN sub-graphs, descended top-down
+  to seed the base beam; smaller segments use a √n-stride entry sweep
+  (cheaper than layer maintenance at that size — crossover in BENCH.md).
+  Scores normalize ``1/(1+d)`` (S5).
 
 Approximate → validated by containment against the exact top-3k
 (``TestCuVSRandomizedVectorSearch.java:140-143``) plus a fixed-seed golden
@@ -43,9 +46,25 @@ from cuvs_lucene_spark.functions.varint import varint_decode, varint_encode
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
 GRAPH_SCHEMA = (
-    "segment_id long, n_nodes int, degree int, offsets binary, graph binary"
+    "segment_id long, layer int, stride int, n_nodes int, degree int, "
+    "offsets binary, graph binary"
 )
 TOPK_SCHEMA = "segment_id long, ext_id long, score double"
+
+
+def _encode_adjacency(nbrs: list[np.ndarray]) -> tuple[bytes, bytes]:
+    """Neighbor lists → (offsets directory, concatenated varint blob) —
+    the writeGraph:239-289 codec (sorted → delta → varint + monotonic
+    offsets)."""
+    blobs = []
+    for ns in nbrs:
+        deltas = np.empty(ns.size, np.int64)
+        deltas[0] = ns[0]
+        np.subtract(ns[1:], ns[:-1], out=deltas[1:])
+        blobs.append(varint_encode(deltas))
+    offs = np.zeros(len(blobs) + 1, "<u8")
+    offs[1:] = np.cumsum([len(b) for b in blobs])
+    return offs.tobytes(), b"".join(blobs)
 
 
 def _knn_graph(x: np.ndarray, degree: int) -> list[np.ndarray]:
@@ -68,8 +87,15 @@ def _knn_graph(x: np.ndarray, degree: int) -> list[np.ndarray]:
 
 def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None):
     """Per-segment graph rows from flat blobs (shared by the batch build
-    and the streaming epoch append)."""
+    and the streaming epoch append). One row per (segment, layer): layer 0
+    is the full kNN graph; layers ≥ 1 are deterministic 1/M stride samples
+    with their own kNN sub-graphs (the multi-layer HNSW entry structure,
+    ``createMultiLayerHnswGraph:101-117,176-229`` — built only for
+    segments with ≥ ``upper_layers_min_nodes`` vectors, where the layered
+    O(log n) descent beats the flat √n entry sweep)."""
     deg = degree or cfg.ann.graph_degree
+    lstride = cfg.ann.upper_layer_stride
+    lmin = cfg.ann.upper_layers_min_nodes
 
     def build(it):
         for pdf in it:
@@ -89,6 +115,8 @@ def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None):
                     yield pd.DataFrame(
                         {
                             "segment_id": [r.segment_id],
+                            "layer": [np.int32(0)],
+                            "stride": [np.int32(1)],
                             "n_nodes": [np.int32(n)],
                             "degree": [np.int32(0)],
                             "offsets": [np.zeros(n + 1, "<u8").tobytes()],
@@ -96,24 +124,42 @@ def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None):
                         }
                     )
                     continue
-                nbrs = _knn_graph(x, deg)
-                blobs = []
-                for ns in nbrs:
-                    deltas = np.empty(ns.size, np.int64)
-                    deltas[0] = ns[0]
-                    np.subtract(ns[1:], ns[:-1], out=deltas[1:])
-                    blobs.append(varint_encode(deltas))
-                offs = np.zeros(len(blobs) + 1, "<u8")
-                offs[1:] = np.cumsum([len(b) for b in blobs])
+                offs, blob = _encode_adjacency(_knn_graph(x, deg))
                 yield pd.DataFrame(
                     {
                         "segment_id": [r.segment_id],
+                        "layer": [np.int32(0)],
+                        "stride": [np.int32(1)],
                         "n_nodes": [np.int32(n)],
                         "degree": [np.int32(min(deg, n - 1))],
-                        "offsets": [offs.tobytes()],
-                        "graph": [b"".join(blobs)],
+                        "offsets": [offs],
+                        "graph": [blob],
                     }
                 )
+                if n < lmin:
+                    continue
+                level = 1
+                while level <= 4:
+                    s = lstride**level
+                    sample = np.arange(0, n, s, dtype=np.int64)
+                    if sample.size < max(8, lstride):
+                        break
+                    sub = x[sample]
+                    offs, blob = _encode_adjacency(
+                        _knn_graph(sub, min(deg, sample.size - 1))
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "segment_id": [r.segment_id],
+                            "layer": [np.int32(level)],
+                            "stride": [np.int32(s)],
+                            "n_nodes": [np.int32(sample.size)],
+                            "degree": [np.int32(min(deg, sample.size - 1))],
+                            "offsets": [offs],
+                            "graph": [blob],
+                        }
+                    )
+                    level += 1
 
     return flat_df.mapInPandas(build, GRAPH_SCHEMA)
 
@@ -145,6 +191,7 @@ def _beam_search(
     accept: np.ndarray | None = None,
     visited_limit: int | None = None,
     batch: int = 8,
+    seed_nodes: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, bool]:
     """Batched best-first beam over one segment's graph →
     (node ids, squared L2, early_terminated).
@@ -160,6 +207,8 @@ def _beam_search(
       exhaustion the beam stops and reports early termination — the
       collector visit budget of ``GPUPerLeafCuVSKnnCollector.java:26-38`` /
       ``CuVS2510GPUVectorsReader.java:500-519``.
+    - ``seed_nodes``: entry points from an upper-layer descent (replaces
+      the √n stride sweep — the multi-layer HNSW entry path).
     """
     n = x.shape[0]
     x64 = x.astype(np.float64)
@@ -170,9 +219,12 @@ def _beam_search(
         diff = x64[nodes] - q64[None, :]
         return np.einsum("ij,ij->i", diff, diff)
 
-    # coarse-layer analogue: deterministic sqrt-stride entry sweep
-    stride = max(1, int(n / max(np.sqrt(n), 1.0)))
-    entry_nodes = np.arange(0, n, stride, dtype=np.int64)
+    if seed_nodes is not None:
+        entry_nodes = np.unique(seed_nodes.astype(np.int64))
+    else:
+        # coarse-layer analogue: deterministic sqrt-stride entry sweep
+        stride = max(1, int(n / max(np.sqrt(n), 1.0)))
+        entry_nodes = np.arange(0, n, stride, dtype=np.int64)
     early = False
     if entry_nodes.size > budget:
         entry_nodes = entry_nodes[:budget]
@@ -312,7 +364,12 @@ def ann_topk_graph(
                 {"segment_id": seg, "ext_id": ids[ok][sel],
                  "score": 1.0 / (1.0 + d2[sel])}
             )
-        g = gp.iloc[0]
+        if "layer" not in gp.columns:  # pre-multilayer graph tables
+            gp = gp.assign(layer=0, stride=1)
+        base_rows = gp[gp["layer"] == 0]
+        if base_rows.empty:
+            return empty
+        g = base_rows.iloc[0]
         if n == 1:
             if accept is not None and not accept[0]:
                 return empty
@@ -321,10 +378,24 @@ def ann_topk_graph(
                 {"segment_id": [seg], "ext_id": [int(ids[0])],
                  "score": [1.0 / (1.0 + d)]}
             )
+        # multi-layer entry descent (top layer first): each layer's beam
+        # seeds the next with its best nodes mapped through the stride —
+        # O(log n) entry for big segments instead of the √n sweep
+        seeds = None
+        uppers = gp[gp["layer"] > 0].sort_values("layer", ascending=False)
+        for _, u in uppers.iterrows():
+            s = int(u["stride"])
+            sample = np.arange(int(u["n_nodes"]), dtype=np.int64) * s
+            u_off = np.frombuffer(u["offsets"], "<u8")
+            loc, _d, _e = _beam_search(
+                x[sample], q, u_off, bytes(u["graph"]), k=4, ef=8,
+                seed_nodes=None if seeds is None else seeds // s,
+            )
+            seeds = sample[loc]  # base-space ids, divisible by lower strides
         offsets = np.frombuffer(g["offsets"], "<u8")
         nodes, d2, _early = _beam_search(
             x, q, offsets, bytes(g["graph"]), k, eff,
-            accept=accept, visited_limit=visited_limit,
+            accept=accept, visited_limit=visited_limit, seed_nodes=seeds,
         )
         return pd.DataFrame(
             {

@@ -103,6 +103,49 @@ def test_graph_golden_fixed_seed(spark, tmp_path):
     assert got == again
 
 
+def test_graph_multilayer_entry(spark, tmp_path):
+    """Multi-layer entry descent (createMultiLayerHnswGraph:101-117,176-229
+    analogue): with the layer threshold lowered, big segments get stride-
+    sampled upper layers whose top-down descent seeds the base beam.
+    Results must stay exact-containment-valid and deterministic."""
+    from dataclasses import replace
+
+    cfg = IndexConfig()
+    cfg = replace(
+        cfg, ann=replace(cfg.ann, upper_layers_min_nodes=400, upper_layer_stride=8)
+    )
+    rng = np.random.default_rng(77)
+    x = rng.normal(size=(2000, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(2000)], "vec_id long, embedding array<float>"
+    )
+    cat = build_ann(
+        spark, df, str(tmp_path / "ml"), cfg,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=2000,
+    )
+    build_ann_graph(spark, cat, cfg)
+    layers = {
+        (int(r["layer"]), int(r["stride"]), int(r["n_nodes"]))
+        for r in cat.read(spark, "ann_graph").collect()
+    }
+    # 2000 nodes, stride 8: layer1=250 nodes, layer2(stride 64)=32 ≥ 8,
+    # layer3(stride 512)=4 < 8 → stopped
+    assert layers == {(0, 1, 2000), (1, 8, 250), (2, 64, 32)}
+    ids = np.arange(2000, dtype=np.int64)
+    for qi in [3, 222, 1999]:
+        got = [
+            r["ext_id"]
+            for r in ann_topk_graph(spark, cat, x[qi], k=5, cfg=cfg).collect()
+        ]
+        assert len(got) == 5
+        assert got[0] == qi  # self is nearest
+        assert set(got) <= set(_exact_l2_ids(ids, x, x[qi], 15))
+    # determinism through the layered descent
+    a = [tuple(r) for r in ann_topk_graph(spark, cat, x[222], k=10, cfg=cfg).collect()]
+    b = [tuple(r) for r in ann_topk_graph(spark, cat, x[222], k=10, cfg=cfg).collect()]
+    assert a == b
+
+
 def test_graph_single_vector_segment(spark, tmp_path):
     """B13: a 1-vector segment gets the dummy graph and stays searchable."""
     df = spark.createDataFrame(
