@@ -112,6 +112,31 @@ def _ann_index(spark: SparkSession, sf_dir: str):
     return cat
 
 
+def _ann_cos_index(spark: SparkSession, sf_dir: str):
+    """COSINE-metric ANN index (the reference exercises COSINE through the
+    same codec: TestMerge.java:167, TestCuVSDeletedDocuments.java:76).
+    Derived structures are built over unit-normalized vectors; searches
+    return true cosine scores."""
+    import dataclasses
+
+    key = (sf_dir, "anncos1")
+    if key in _CATS:
+        return _CATS[key]
+    ccfg = dataclasses.replace(
+        CFG, ann=dataclasses.replace(CFG.ann, metric="cosine")
+    )
+    cat = build_ann(
+        spark, _embs(spark, sf_dir), _root(sf_dir, "anncos1"), ccfg,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=ANN_RPS,
+    )
+    if not cat.stage_done("ann_graph"):
+        from cuvs_lucene_spark.operators.ann_graph import build_ann_graph
+
+        build_ann_graph(spark, cat, ccfg)
+    _CATS[key] = cat
+    return cat
+
+
 def _annmf_index(spark: SparkSession, sf_dir: str):
     """Two-vector-field index (per-field sidecars): field 'embedding' plus
     a coordinate-reversed twin 'emb_rev' — L2 is permutation-invariant, so
@@ -285,6 +310,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             filter_ext_ids=_even_filter(s, d),
         ).select(F.col("ext_id").alias("vec_id")),
         _exact_filtered30(s, d),
+    )
+
+    # COSINE metric on the derived formats (similarity enum parity —
+    # EUCLIDEAN and COSINE exercised through the same codec,
+    # TestMerge.java:167): containment vs the engine's exact cosine top-3k
+    def _exact_cos30(s, d):
+        return ann_topk(
+            s, _ann_cos_index(s, d), _qvec(s, d, 7), k=30, metric="cosine",
+            cfg=CFG, mode="exact",
+        ).select(F.col("ext_id").alias("vec_id"))
+
+    q["ann_ivf_cosine"] = lambda s, d: _contain(
+        ann_topk(s, _ann_cos_index(s, d), _qvec(s, d, 7), k=10,
+                 metric="cosine", cfg=CFG, mode="ivf")
+        .select(F.col("ext_id").alias("vec_id")),
+        _exact_cos30(s, d),
+    )
+    q["ann_graph_cosine"] = lambda s, d: _contain(
+        __import__(
+            "cuvs_lucene_spark.operators.ann_graph", fromlist=["ann_topk_graph"]
+        ).ann_topk_graph(s, _ann_cos_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG)
+        .select(F.col("ext_id").alias("vec_id")),
+        _exact_cos30(s, d),
     )
 
     # scalar-quantized coarse scan + exact rerank (B10/B11 search path)
@@ -491,6 +539,8 @@ SELECT CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_returne
     o["ann_sq_l2"] = _contain10
     o["ann_graph_l2"] = _contain10
     o["ann_pq_l2"] = _contain10
+    o["ann_ivf_cosine"] = _contain10
+    o["ann_graph_cosine"] = _contain10
     # filtered variants: the candidate pool is the even-vec_id subset
     _contain10_even = """
 SELECT CAST(least(10, (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)) AS BIGINT) AS n_returned,

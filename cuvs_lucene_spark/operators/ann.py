@@ -50,6 +50,34 @@ CENTROIDS_SCHEMA = "segment_id long, n_lists int, dim int, centroids binary"
 TOPK_SCHEMA = "segment_id long, ext_id long, score double"
 
 
+def _unit_rows(x: np.ndarray) -> np.ndarray:
+    """Row-normalize to unit L2 (float64 math, float32 out). Zero rows
+    pass through unchanged."""
+    n = np.linalg.norm(x.astype(np.float64), axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return (x / n).astype(np.float32)
+
+
+def _nav_vectors(x: np.ndarray, metric: str) -> np.ndarray:
+    """Vectors in NAVIGATION space: the derived structures (SQ/IVF/PQ/graph)
+    of a COSINE index are built over unit-normalized vectors, so their L2
+    geometry ranks identically to cosine (d² = 2 - 2·cos on unit vectors) —
+    the same normalize-then-L2 treatment Lucene applies for
+    VectorSimilarityFunction.COSINE. L2 indexes pass through raw. The flat
+    storage always keeps RAW vectors (source of truth for merge-as-rebuild),
+    and cosine itself is scale-invariant, so exact rerank from flat is
+    metric-correct either way."""
+    return _unit_rows(x) if metric == "cosine" else x
+
+
+def _nav_query(q: np.ndarray, metric: str) -> np.ndarray:
+    """Query vector in navigation space (see :func:`_nav_vectors`)."""
+    if metric != "cosine":
+        return q
+    n = float(np.linalg.norm(q.astype(np.float64)))
+    return q if n == 0 else (q / n).astype(q.dtype)
+
+
 def _kmeans(x: np.ndarray, n_lists: int, iters: int, seed: int, trainset_fraction: float) -> np.ndarray:
     """Deterministic Lloyd k-means (the IVF coarse quantizer)."""
     rng = np.random.default_rng(seed)
@@ -71,14 +99,15 @@ def _kmeans(x: np.ndarray, n_lists: int, iters: int, seed: int, trainset_fractio
     return cents
 
 
-def _sq_rows(flat_df: DataFrame) -> DataFrame:
-    """Per-segment scalar-quantized codes (B10) from flat blobs."""
+def _sq_rows(flat_df: DataFrame, metric: str = "l2") -> DataFrame:
+    """Per-segment scalar-quantized codes (B10) from flat blobs (codes are
+    in navigation space — unit-normalized for cosine indexes)."""
 
     def build_sq(it):
         for pdf in it:
             for r in pdf.itertuples():
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
-                q, mins, maxs = scalar_quantize(x)
+                q, mins, maxs = scalar_quantize(_nav_vectors(x, metric))
                 yield pd.DataFrame(
                     {
                         "segment_id": [r.segment_id],
@@ -118,9 +147,13 @@ def _bq_rows(flat_df: DataFrame) -> DataFrame:
     return flat_df.mapInPandas(build_bq, BQ_SCHEMA)
 
 
-def _ivf_rows(flat_df: DataFrame, ann: AnnParams) -> DataFrame:
+def _ivf_rows(flat_df: DataFrame, ann: AnnParams, metric: str = "l2") -> DataFrame:
     """Per-segment IVF lists (deterministic k-means, O2 parameter
-    heuristics); segments below min_ann_index_size emit nothing (B2)."""
+    heuristics); segments below min_ann_index_size emit nothing (B2).
+    For cosine indexes, k-means and list ASSIGNMENT run in unit space
+    (spherical k-means; centroids are probed against the normalized
+    query), but the lists store the RAW vectors — cosine scoring is
+    scale-invariant, so stored-copy scores stay bit-equal to flat."""
     seed = ann.seed
     kmeans_iters = ann.kmeans_iters
     min_sz = ann.min_ann_index_size
@@ -129,14 +162,15 @@ def _ivf_rows(flat_df: DataFrame, ann: AnnParams) -> DataFrame:
         for pdf in it:
             for r in pdf.itertuples():
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                xn = _nav_vectors(x, metric)
                 ids = np.frombuffer(r.ext_ids, np.int64)
                 n = x.shape[0]
                 if n < min_sz:
                     continue  # B2 fallback: brute force only for tiny segments
                 p = ivf_pq_params(n, x.shape[1])
                 n_lists = min(p["n_lists"], n)
-                cents = _kmeans(x, n_lists, kmeans_iters, seed, p["kmeans_trainset_fraction"])
-                d = -2.0 * x @ cents.T + (cents**2).sum(1)[None, :]
+                cents = _kmeans(xn, n_lists, kmeans_iters, seed, p["kmeans_trainset_fraction"])
+                d = -2.0 * xn @ cents.T + (cents**2).sum(1)[None, :]
                 assign = d.argmin(1)
                 rows = []
                 for c in range(n_lists):
@@ -195,6 +229,14 @@ def build_ann(
     """Build the ANN sidecar tables from (id, array<float>) rows."""
     cfg = cfg or IndexConfig()
     ann = cfg.ann
+    if ann.metric == "dot":
+        # MIP has no normalize-to-L2 reduction; derived structures (IVF/SQ/
+        # PQ/graph) would rank wrong-metric. Exact scans (ann_topk
+        # mode="exact", knn_join, exact_knn_expr) support dot directly.
+        raise ValueError(
+            "metric 'dot' is supported on exact scans only; build the "
+            "index with 'l2' or 'cosine'"
+        )
     cat = IndexCatalog(index_root)
     validate_vectors(vectors, vector_col, id_col, ann)
     rps = rows_per_segment or cfg.rows_per_segment
@@ -230,14 +272,14 @@ def build_ann(
     # derived stages read the committed flat blobs (merge reads flat only, M4)
     flat_df = cat.read(spark, "ann_flat")
 
-    cat.write(_sq_rows(flat_df), "ann_sq")
+    cat.write(_sq_rows(flat_df, ann.metric), "ann_sq")
     cat.mark_stage("ann_sq")
 
     cat.write(_bq_rows(flat_df), "ann_bq")
     cat.mark_stage("ann_bq")
 
     cat.write(
-        _ivf_rows(flat_df, ann),
+        _ivf_rows(flat_df, ann, ann.metric),
         "ann_ivf",
         sort_within_partitions=["segment_id", "list_id"],
     )
@@ -406,6 +448,7 @@ def ann_topk(
     cfg = cfg or IndexConfig()
     ann = cfg.ann
     q = np.asarray(query, dtype=np.float32)
+    qn = _nav_query(q, metric)  # navigation-space query (unit for cosine)
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")  # S9
     use_ivf = mode == "ivf" or (mode == "auto" and k <= ann.max_k_ann and cat.exists("ann_ivf"))
@@ -476,7 +519,7 @@ def ann_topk(
                             1, min(n_lists, ivf_pq_params(n_total, dim)["n_probes"])
                         )
                         cd = (
-                            (cents.astype(np.float64) - q.astype(np.float64)[None, :]) ** 2
+                            (cents.astype(np.float64) - qn.astype(np.float64)[None, :]) ** 2
                         ).sum(1)
                         take = np.argsort(cd, kind="stable")[:npb]
                         yield pd.DataFrame(
@@ -500,7 +543,7 @@ def ann_topk(
             if pack is None:
                 use_ivf = False
             else:
-                cd = ((pack["C"].astype(np.float64) - q.astype(np.float64)[None, :]) ** 2).sum(1)
+                cd = ((pack["C"].astype(np.float64) - qn.astype(np.float64)[None, :]) ** 2).sum(1)
                 npb_row = (
                     np.minimum(pack["n_lists_row"], int(nprobe))
                     if nprobe else pack["npb_row"]
@@ -657,9 +700,14 @@ def ann_topk_sq(
     ``filter_ext_ids`` + ANN tombstones apply as a PRE-filter at the coarse
     stage (candidates are drawn from accepted vectors only — stricter than
     the reference's k+10 widening, same filtered-search contract on the
-    quantized formats, ``TestCuVSGaps.java:146-170``)."""
+    quantized formats, ``TestCuVSGaps.java:146-170``).
+
+    Searches under the INDEX's build metric (l2 or cosine): cosine indexes
+    store unit-normalized codes (see :func:`_nav_vectors`), coarse ranking
+    scores them directly with the metric (scale-invariant), and the exact
+    rerank from raw flat storage is metric-correct by construction."""
     cfg = cfg or IndexConfig()
-    _validate_metric(cat, "l2")
+    metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
     q = np.asarray(query, dtype=np.float32)
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")
@@ -683,7 +731,7 @@ def ann_topk_sq(
         codes_u = widen_unsigned(codes)
         codes_i = (codes_u.astype(np.int16) - 64).astype(np.int8)
         x_deq = scalar_dequantize(codes_i, mins, maxs)
-        coarse = _scores(x_deq, q, "l2")
+        coarse = _scores(x_deq, q, metric)
         fr = fp.iloc[0]
         x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
@@ -695,7 +743,7 @@ def ann_topk_sq(
             if ok.size == 0:
                 return empty
             cand = ok[np.argsort(-coarse[ok], kind="stable")[:m_coarse]]
-        s = _scores(x[cand], q, "l2")
+        s = _scores(x[cand], q, metric)
         top = np.argsort(-s, kind="stable")[:k]
         return pd.DataFrame(
             {"segment_id": int(r["segment_id"]), "ext_id": ids[cand][top], "score": s[top]}
@@ -779,9 +827,10 @@ def ann_topk_bq(
     )
 
 
-def _pq_rows(flat_df: DataFrame, cfg: IndexConfig) -> DataFrame:
+def _pq_rows(flat_df: DataFrame, cfg: IndexConfig, metric: str = "l2") -> DataFrame:
     """Per-segment PQ codebooks + codes from flat blobs (shared by the
-    batch build and the streaming epoch append)."""
+    batch build and the streaming epoch append). Codebooks/codes live in
+    navigation space (unit-normalized for cosine indexes)."""
     seed = cfg.ann.seed
     iters = cfg.ann.kmeans_iters
 
@@ -789,6 +838,7 @@ def _pq_rows(flat_df: DataFrame, cfg: IndexConfig) -> DataFrame:
         for pdf in it:
             for r in pdf.itertuples():
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                x = _nav_vectors(x, metric)
                 n, dim = x.shape
                 p = ivf_pq_params(n, dim)
                 pq_dim, bits = p["pq_dim"], p["pq_bits"]
@@ -841,7 +891,8 @@ def build_ann_pq(
     the classic ADC scan: one (pq_dim × 2^bits) lookup table per query,
     approximate distance = sum of per-subspace LUT entries."""
     cfg = cfg or IndexConfig()
-    cat.write(_pq_rows(cat.read(spark, "ann_flat"), cfg), "ann_pq")
+    metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
+    cat.write(_pq_rows(cat.read(spark, "ann_flat"), cfg, metric), "ann_pq")
     cat.mark_stage("ann_pq")
 
 
@@ -858,11 +909,15 @@ def ann_topk_pq(
     score all codes with one fancy-index sum, take the coarse top
     ``k·rerank_factor``, rescore those EXACTLY from the flat storage in
     the same cogrouped pass. Approximate → containment-validated; returned
-    scores are exact 1/(1+d) L2. Pre-filter + tombstones restrict the
-    coarse candidate pool (filtered-search contract on every format)."""
+    scores are exact under the index's build metric (1/(1+d) for L2,
+    cosine similarity for cosine indexes — codebooks live in navigation
+    space, the ADC LUT uses the unit query, rerank reads raw flat).
+    Pre-filter + tombstones restrict the coarse candidate pool
+    (filtered-search contract on every format)."""
     cfg = cfg or IndexConfig()
-    _validate_metric(cat, "l2")
+    metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
     q = np.asarray(query, dtype=np.float32)
+    q_nav = _nav_query(q, metric)
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")
     m_coarse = k * max(1, rerank_factor)
@@ -881,9 +936,10 @@ def ann_topk_pq(
         sub = dim // pq_dim
         books = np.frombuffer(r["codebook"], np.float32).reshape(pq_dim, 1 << bits, sub)
         codes = np.frombuffer(r["codes"], np.uint8).reshape(n, pq_dim)
-        q64 = q.astype(np.float64)
+        q64 = q_nav.astype(np.float64)
         # ADC lookup table: squared L2 from each query subvector to every
-        # centroid of its subspace
+        # centroid of its subspace (navigation space — L2 on unit vectors
+        # ranks as cosine for cosine indexes)
         qsub = q64.reshape(pq_dim, sub)
         lut = ((books.astype(np.float64) - qsub[:, None, :]) ** 2).sum(2)  # (pq_dim, K)
         approx = lut[np.arange(pq_dim)[None, :], codes].sum(1)  # (n,)
@@ -898,7 +954,7 @@ def ann_topk_pq(
             if ok.size == 0:
                 return empty
             cand = ok[np.argsort(approx[ok], kind="stable")[:m_coarse]]
-        s = _scores(x[cand], q, "l2")
+        s = _scores(x[cand], q, metric)
         top = np.argsort(-s, kind="stable")[:k]
         return pd.DataFrame(
             {"segment_id": int(r["segment_id"]), "ext_id": ids[cand][top], "score": s[top]}
@@ -1006,7 +1062,18 @@ def merge_ann(
     ``tombstone_ext_ids`` defaults to the catalog's own ``ann_tombstones``
     table (registered by :func:`delete_ann`); the table is cleared after
     the rebuild since the deleted rows are now physically gone (M5)."""
+    import dataclasses
+
     cfg = cfg or IndexConfig()
+    # merge must rebuild under the INDEX's metric, not the passed cfg's
+    # default — a cosine index merged with a default cfg must stay cosine
+    # (similarity function is per-field index state, never per-call:
+    # CuVS2510GPUVectorsWriter.java:360-367 persists it in meta)
+    built = cat.read_manifest().get("config", {}).get("ann_metric")
+    if built and built != cfg.ann.metric:
+        cfg = dataclasses.replace(
+            cfg, ann=dataclasses.replace(cfg.ann, metric=built)
+        )
     if tombstone_ext_ids is None:
         arr = _ann_tombstones(spark, cat)
         tomb = arr if arr is not None and arr.size else None
@@ -1124,6 +1191,13 @@ def knn_join_ivf(
             qb = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["q_vec"].to_numpy()]
             )
+            if metric == "cosine":
+                # centroids/lists live in unit space; cosine is scale-
+                # invariant in q, so the normalized bundle is also
+                # score-exact downstream
+                nr = np.linalg.norm(qb, axis=1, keepdims=True)
+                nr[nr == 0] = 1.0
+                qb = qb / nr
             dim = qb.shape[1]
             qi_ids = pdf["q_id"].to_numpy(np.int64)
             for seg, n_lists, n_total, blob in cent_pack:

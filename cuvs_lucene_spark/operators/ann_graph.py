@@ -85,22 +85,27 @@ def _knn_graph(x: np.ndarray, degree: int) -> list[np.ndarray]:
     return out
 
 
-def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None):
+def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None,
+                metric: str = "l2"):
     """Per-segment graph rows from flat blobs (shared by the batch build
     and the streaming epoch append). One row per (segment, layer): layer 0
     is the full kNN graph; layers ≥ 1 are deterministic 1/M stride samples
     with their own kNN sub-graphs (the multi-layer HNSW entry structure,
     ``createMultiLayerHnswGraph:101-117,176-229`` — built only for
     segments with ≥ ``upper_layers_min_nodes`` vectors, where the layered
-    O(log n) descent beats the flat √n entry sweep)."""
+    O(log n) descent beats the flat √n entry sweep). Cosine indexes build
+    adjacency over unit-normalized vectors (L2-on-unit == cosine order)."""
     deg = degree or cfg.ann.graph_degree
     lstride = cfg.ann.upper_layer_stride
     lmin = cfg.ann.upper_layers_min_nodes
 
     def build(it):
+        from cuvs_lucene_spark.operators.ann import _nav_vectors
+
         for pdf in it:
             for r in pdf.itertuples():
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                x = _nav_vectors(x, metric)
                 n = x.shape[0]
                 # O1 size-based algorithm switch (CagraIndexParamsFactory
                 # heuristic): below the threshold the dense exact kNN graph
@@ -177,7 +182,10 @@ def build_ann_graph(
     ``graph`` = concatenated per-node varint blocks, each node's sorted
     neighbor ids delta-encoded (first value absolute)."""
     cfg = cfg or IndexConfig()
-    cat.write(_graph_rows(cat.read(spark, "ann_flat"), cfg, degree), "ann_graph")
+    metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
+    cat.write(
+        _graph_rows(cat.read(spark, "ann_flat"), cfg, degree, metric), "ann_graph"
+    )
     cat.mark_stage("ann_graph")
 
 
@@ -309,7 +317,8 @@ def ann_topk_graph(
     filter_ext_ids=None,
     visited_limit: int | None = None,
 ) -> DataFrame:
-    """Graph top-k (L2): per-segment greedy beam → global top-k.
+    """Graph top-k under the index's build metric (l2 or cosine):
+    per-segment greedy beam → global top-k.
     ``ef`` defaults to ``max(k + overfetch, 64)`` (iTopK ≥ topK, O5).
 
     - ``filter_ext_ids`` + ANN tombstones apply as acceptDocs in the
@@ -326,12 +335,15 @@ def ann_topk_graph(
     from cuvs_lucene_spark.operators.ann import (
         _accept_mask,
         _ann_tombstones,
+        _nav_query,
+        _nav_vectors,
+        _scores,
         _sorted_ids,
-        _validate_metric,
     )
 
-    _validate_metric(cat, "l2")
+    metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
     q = np.asarray(query, dtype=np.float32)
+    q_nav = _nav_query(q, metric)
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")
     eff = ef or max(k + cfg.overfetch, 64)
@@ -348,7 +360,10 @@ def ann_topk_graph(
         n = int(fr["n_vecs"])
         if n == 0:
             return empty
-        x = np.frombuffer(fr["vectors"], np.float32).reshape(n, -1)
+        x_raw = np.frombuffer(fr["vectors"], np.float32).reshape(n, -1)
+        # navigation space: unit vectors for cosine indexes (graph edges
+        # were built there); identical to raw for l2
+        x = _nav_vectors(x_raw, metric)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
         accept = _accept_mask(ids, allowed, tomb)
         seg = int(fr["segment_id"])
@@ -358,11 +373,10 @@ def ann_topk_graph(
             ok = np.arange(n) if accept is None else np.flatnonzero(accept)
             if ok.size == 0:
                 return empty
-            d2 = ((x[ok].astype(np.float64) - q.astype(np.float64)[None, :]) ** 2).sum(1)
-            sel = np.lexsort((ids[ok], d2))[:k]
+            s = _scores(x_raw[ok], q, metric)
+            sel = np.lexsort((ids[ok], -s))[:k]
             return pd.DataFrame(
-                {"segment_id": seg, "ext_id": ids[ok][sel],
-                 "score": 1.0 / (1.0 + d2[sel])}
+                {"segment_id": seg, "ext_id": ids[ok][sel], "score": s[sel]}
             )
         if "layer" not in gp.columns:  # pre-multilayer graph tables
             gp = gp.assign(layer=0, stride=1)
@@ -373,10 +387,9 @@ def ann_topk_graph(
         if n == 1:
             if accept is not None and not accept[0]:
                 return empty
-            d = float(((x[0].astype(np.float64) - q.astype(np.float64)) ** 2).sum())
             return pd.DataFrame(
                 {"segment_id": [seg], "ext_id": [int(ids[0])],
-                 "score": [1.0 / (1.0 + d)]}
+                 "score": [float(_scores(x_raw[:1], q, metric)[0])]}
             )
         # multi-layer entry descent (top layer first): each layer's beam
         # seeds the next with its best nodes mapped through the stride —
@@ -388,20 +401,27 @@ def ann_topk_graph(
             sample = np.arange(int(u["n_nodes"]), dtype=np.int64) * s
             u_off = np.frombuffer(u["offsets"], "<u8")
             loc, _d, _e = _beam_search(
-                x[sample], q, u_off, bytes(u["graph"]), k=4, ef=8,
+                x[sample], q_nav, u_off, bytes(u["graph"]), k=4, ef=8,
                 seed_nodes=None if seeds is None else seeds // s,
             )
             seeds = sample[loc]  # base-space ids, divisible by lower strides
         offsets = np.frombuffer(g["offsets"], "<u8")
         nodes, d2, _early = _beam_search(
-            x, q, offsets, bytes(g["graph"]), k, eff,
+            x, q_nav, offsets, bytes(g["graph"]), k, eff,
             accept=accept, visited_limit=visited_limit, seed_nodes=seeds,
         )
+        if metric == "l2":
+            score = 1.0 / (1.0 + d2)  # S5 normalization (d2 exact: nav==raw)
+        else:
+            # beam ORDER is cosine order (unit space); rescore the k
+            # survivors exactly from raw flat so returned scores are true
+            # cosine, not a unit-space distance transform
+            score = _scores(x_raw[nodes], q, metric)
         return pd.DataFrame(
             {
                 "segment_id": seg,
                 "ext_id": ids[nodes],
-                "score": 1.0 / (1.0 + d2),  # S5 normalization
+                "score": score,
             }
         )
 

@@ -176,21 +176,24 @@ def incremental_add_vectors(
         if not cat.exists(table):
             cat.write(spark.createDataFrame([], schema), table)
     tag = f"ann_epoch_{epoch}"
+    # derived structures follow the CATALOG's metric (set at first epoch /
+    # batch build), never the per-call cfg — similarity is index state
+    metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
     cat.append(flat, "ann_flat", tag=tag)
-    cat.append(_sq_rows(flat), "ann_sq", tag=tag)
+    cat.append(_sq_rows(flat, metric), "ann_sq", tag=tag)
     cat.append(_bq_rows(flat), "ann_bq", tag=tag)
-    cat.append(_ivf_rows(flat, cfg.ann), "ann_ivf", tag=tag)
+    cat.append(_ivf_rows(flat, cfg.ann, metric), "ann_ivf", tag=tag)
     # derived graph/PQ structures (if built on this catalog) get this
     # epoch's segments too — per-segment independence means we only build
     # over the NEW flat rows and append
     if cat.exists("ann_graph"):
         from cuvs_lucene_spark.operators.ann_graph import _graph_rows
 
-        cat.append(_graph_rows(flat, cfg), "ann_graph", tag=tag)
+        cat.append(_graph_rows(flat, cfg, metric=metric), "ann_graph", tag=tag)
     if cat.exists("ann_pq"):
         from cuvs_lucene_spark.operators.ann import _pq_rows
 
-        cat.append(_pq_rows(flat, cfg), "ann_pq", tag=tag)
+        cat.append(_pq_rows(flat, cfg, metric), "ann_pq", tag=tag)
     # maintain the B2 brute-force fallback list for sub-min-size segments
     flat_segs = {int(r["segment_id"]) for r in flat.select("segment_id").collect()}
     ivf_segs = {
