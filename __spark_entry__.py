@@ -411,6 +411,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dup"] = lambda s, d: dd.embedding_near_dup(
         _embs(s, d), threshold=0.4
     )
+    # pairs → clusters: connected components by iterative min-label
+    # propagation (A~B, B~C collapse to ONE survivor even without an A~C
+    # candidate pair) — total decision table over all docs
+    q["dedup_components"] = lambda s, d: dd.duplicate_components(
+        dd.simhash_near_dup(_docs(s, d), max_hamming=3, bands=4),
+        all_ids=_docs(s, d).select("doc_id"),
+    )
 
     # ---- text analysis ----
     q["lang_id"] = lambda s, d: textstats.lang_id(_docs(s, d)).select(
@@ -648,6 +655,30 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """.strip()
+
+    # connected components over the exact near-dup pair graph: transitive
+    # closure by recursive CTE (tiny scale), component = min reachable id
+    o["dedup_components"] = f"""
+WITH RECURSIVE
+s AS (SELECT * FROM ({o["simhash"]})),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+und AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(id, r) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+),
+comp AS (SELECT id, min(r) AS m FROM reach GROUP BY id)
+SELECT d.doc_id AS id,
+       least(d.doc_id, coalesce(comp.m, d.doc_id)) AS component,
+       d.doc_id = least(d.doc_id, coalesce(comp.m, d.doc_id)) AS keep
+FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+""".strip()
+
     o["embedding_near_dup"] = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])

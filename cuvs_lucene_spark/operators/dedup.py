@@ -446,3 +446,85 @@ def embedding_near_dup_lsh(
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
     return verified
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs →
+    ``(id, component, keep)`` with ``component`` = the minimum id reachable
+    through the pair graph and ``keep`` = (id == component) — the cluster
+    decision table a dedup pipeline feeds downstream (pairs alone
+    under-delete: A~B and B~C must collapse to ONE survivor even when A~C
+    was never emitted as a candidate).
+
+    Algorithm: iterative min-label propagation. Every round each node
+    adopts the minimum label in its closed neighborhood (its own label and
+    all neighbors'); a fixpoint is the component minimum. Rounds needed =
+    the graph's diameter — near-dup clusters from banded candidates are
+    near-cliques (diameter ~2-3), so this converges in a handful of
+    rounds; ``max_iterations`` guards pathological chains (a 10^6-link
+    path wants the large-star/small-star variant instead, same skeleton).
+
+    Scale shape: each round is ONE equi-join on the node id + ONE
+    groupBy(min) — compact long keys, no crossJoin, partial aggregation
+    map-side. ``localCheckpoint`` every ``checkpoint_every`` rounds severs
+    the growing lineage (iterative-plan hygiene; without it round t
+    replays rounds 1..t-1 on any recompute). Deterministic: min is
+    order-independent.
+
+    ``all_ids`` (one ``id`` column, optional): include singletons with
+    ``component = id`` so the output is a TOTAL decision table.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        und.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for it in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iterations} rounds"
+        )
+    comp = labels.select("id", F.col("label").alias("component"))
+    if all_ids is not None:
+        comp = (
+            all_ids.select(F.col(all_ids.columns[0]).cast("long").alias("id"))
+            .join(comp, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component"))
+        )
+    return comp.withColumn("keep", F.col("id") == F.col("component"))

@@ -7,7 +7,7 @@ Workload: build the full inverted index over a deterministic synthetic
 code corpus (input_hint schema, Zipf hot-term skew) + answer a 64-query
 BM25 batch. Runs each parallelism level in its own JVM (subprocess).
 
-    python tools/scaling.py [n_docs]      # default 100000; writes BENCH.md
+    python tools/scaling.py [n_docs]      # default 100000; writes BENCH_SCALING.md/.json
 """
 
 from __future__ import annotations
@@ -232,9 +232,16 @@ Scale-design notes (what makes this hold at 1000 executors):
 Reproduce: `python tools/scaling.py {n_docs} 3`. Per-op timings at sf0.1:
 `python bench.py` (one-line JSON; recorded per round as BENCH_r*.json).
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # Do NOT clobber the hand-maintained BENCH.md (it carries re-measure
+    # tables, crossover notes, and methodology sections beyond this
+    # template): write the study output next to it; merge by hand.
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write(md)
-    print("wrote BENCH.md")
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump({"low": low, "high": high, "eff_build": eff_build,
+                   "eff_query": eff_query, "pair_build": pair_build,
+                   "pair_query": pair_query, "n_docs": n_docs}, f)
+    print("wrote BENCH_SCALING.md / BENCH_SCALING.json")
 
 
 if __name__ == "__main__":
