@@ -187,6 +187,15 @@ def main():
     timed("minhash_lsh", lambda: minhash_lsh_candidates(docs, n_perm=8, bands=2).count())
     timed("simhash", lambda: simhash(docs).count())
     timed("simhash_near_dup", lambda: simhash_near_dup(docs, max_hamming=3, bands=4).count())
+    from cuvs_lucene_spark.operators.dedup import duplicate_components
+
+    timed(
+        "dedup_components",
+        lambda: duplicate_components(
+            simhash_near_dup(docs, max_hamming=3, bands=4),
+            all_ids=docs.select("doc_id"),
+        ).count(),
+    )
     timed("quality", lambda: quality_score(docs).count())
     from cuvs_lucene_spark.operators.dedup import embedding_near_dup
 
