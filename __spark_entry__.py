@@ -374,6 +374,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).ann_topk_bq(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG).select(
         F.col("ext_id").alias("vec_id"), "hamming"
     )
+    # BQ with rescoring (quantized formats rescore from raw vectors):
+    # hamming-coarse pool widened 6x, exact L2 rerank — containment
+    q["ann_bq_rerank"] = lambda s, d: _contain(
+        __import__(
+            "cuvs_lucene_spark.operators.ann", fromlist=["ann_topk_bq"]
+        ).ann_topk_bq(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG,
+                      rerank_factor=6)
+        .select(F.col("ext_id").alias("vec_id")),
+        ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=60, metric="l2",
+                 cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
+    )
 
     # multi-field: search the reversed-coordinate field with the reversed
     # query — exact scores must equal the single-field L2 result
@@ -548,6 +559,7 @@ SELECT CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_returne
     o["ann_pq_l2"] = _contain10
     o["ann_ivf_cosine"] = _contain10
     o["ann_graph_cosine"] = _contain10
+    o["ann_bq_rerank"] = _contain10
     # filtered variants: the candidate pool is the even-vec_id subset
     _contain10_even = """
 SELECT CAST(least(10, (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)) AS BIGINT) AS n_returned,

@@ -769,25 +769,46 @@ def ann_topk_bq(
     k: int = 10,
     cfg: IndexConfig | None = None,
     filter_ext_ids=None,
+    rerank_factor: int | None = None,
 ) -> DataFrame:
     """Top-k over binary-quantized codes by Hamming distance (the
     coarse/compressed search path of the BQ format). Approximate —
     validated by containment against the exact oracle, like the
     reference's quantized-format tests (TestQuantizedVectorsFormats).
-    Pre-filter + tombstones restrict candidates BEFORE the top-k cut."""
+    Pre-filter + tombstones restrict candidates BEFORE the top-k cut.
+
+    ``rerank_factor=None`` (default): pure compressed-domain search →
+    (ext_id, hamming), the fully-SQL-oracled path. With an int: the
+    reference's quantized formats RESCORE candidates against raw vectors
+    (Lucene's quantized readers delegate exact rescoring to the flat
+    storage) — take the ``k·rerank_factor`` hamming-closest per segment,
+    rescore them exactly from ``ann_flat`` under the index metric →
+    (ext_id, score)."""
     cfg = cfg or IndexConfig()
+    metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
     q = np.asarray(query, dtype=np.float32)
+    rerank = rerank_factor is not None
+    out_schema = "ext_id long, score double" if rerank else "ext_id long, hamming int"
     if k <= 0:
-        return spark.createDataFrame([], "ext_id long, hamming int")
+        return spark.createDataFrame([], out_schema)
+    m_coarse = k * max(1, rerank_factor or 1)
     bq = cat.read(spark, "ann_bq")
-    flat = cat.read(spark, "ann_flat").select("segment_id", "ext_ids")
+    flat_cols = ["segment_id", "n_vecs", "ext_ids"] + (["vectors"] if rerank else [])
+    flat = cat.read(spark, "ann_flat").select(*flat_cols)
     allowed = _sorted_ids(filter_ext_ids)
     tomb = _ann_tombstones(spark, cat)
     from pyspark.sql import functions as F2
 
+    part_schema = (
+        "segment_id long, ext_id long, score double" if rerank
+        else "segment_id long, ext_id long, hamming int"
+    )
+
     def scan(key, bqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"segment_id": [], "ext_id": [], "hamming": []}).astype(
-            {"segment_id": "int64", "ext_id": "int64", "hamming": "int32"}
+        val = "score" if rerank else "hamming"
+        empty = pd.DataFrame({"segment_id": [], "ext_id": [], val: []}).astype(
+            {"segment_id": "int64", "ext_id": "int64",
+             val: "float64" if rerank else "int32"}
         )
         if bqp.empty or fp.empty:
             return empty
@@ -801,25 +822,41 @@ def ann_topk_bq(
             centroid = np.frombuffer(raw, np.float64)
         else:
             centroid = np.frombuffer(raw, np.float32).astype(np.float64)
-        ids = np.frombuffer(fp.iloc[0]["ext_ids"], np.int64)
+        fr = fp.iloc[0]
+        ids = np.frombuffer(fr["ext_ids"], np.int64)
         qbits = np.packbits(q > centroid)
         ham = np.unpackbits(codes ^ qbits[None, :], axis=1).sum(1)
         mask = _accept_mask(ids, allowed, tomb)
+        idx = np.arange(ids.size)
         if mask is not None:
-            ids, ham = ids[mask], ham[mask]
-            if ids.size == 0:
+            idx = idx[mask]
+            if idx.size == 0:
                 return empty
-        top = np.lexsort((ids, ham))[:k]
+        top = idx[np.lexsort((ids[idx], ham[idx]))[:m_coarse]]
+        if not rerank:
+            return pd.DataFrame(
+                {"segment_id": int(r["segment_id"]), "ext_id": ids[top],
+                 "hamming": ham[top].astype(np.int32)}
+            )
+        x = np.frombuffer(fr["vectors"], np.float32).reshape(int(fr["n_vecs"]), dim)
+        s = _scores(x[top], q, metric)
+        best = np.argsort(-s, kind="stable")[:k]
         return pd.DataFrame(
-            {"segment_id": int(r["segment_id"]), "ext_id": ids[top],
-             "hamming": ham[top].astype(np.int32)}
+            {"segment_id": int(r["segment_id"]), "ext_id": ids[top][best],
+             "score": s[best]}
         )
 
     partials = (
         bq.groupby("segment_id")
         .cogroup(flat.groupby("segment_id"))
-        .applyInPandas(scan, "segment_id long, ext_id long, hamming int")
+        .applyInPandas(scan, part_schema)
     )
+    if rerank:
+        return (
+            partials.orderBy(F2.desc("score"), F2.asc("ext_id"))
+            .limit(k)
+            .select("ext_id", "score")
+        )
     return (
         partials.orderBy(F2.asc("hamming"), F2.asc("ext_id"))
         .limit(k)

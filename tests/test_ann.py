@@ -138,6 +138,27 @@ def test_bq_hamming_containment(spark, acat, np_vecs):
     assert len(set(got) & exact) >= 3  # coarse 1-bit codes: majority overlap
 
 
+def test_bq_rerank_exact_scores(spark, acat, np_vecs):
+    """BQ with rescoring (the reference's quantized formats rescore
+    candidates from raw vectors): hamming-coarse pool, exact rerank —
+    containment vs exact top-k and TRUE metric scores."""
+    from cuvs_lucene_spark.operators.ann import ann_topk_bq
+
+    ids, x = np_vecs
+    q = x[11]
+    got = [(r["ext_id"], r["score"]) for r in
+           ann_topk_bq(spark, acat, q, k=5, cfg=CFG, rerank_factor=6).collect()]
+    assert len(got) == 5
+    x64 = x.astype(np.float64)
+    d2 = ((x64 - q.astype(np.float64)) ** 2).sum(1)
+    s_exact = 1.0 / (1.0 + d2)
+    for i, sc in got:
+        assert sc == pytest.approx(float(s_exact[np.flatnonzero(ids == i)[0]]), abs=1e-9)
+    assert [s for _, s in got] == sorted((s for _, s in got), reverse=True)
+    exact_top = {int(ids[j]) for j in np.argsort(-s_exact, kind="stable")[:30]}
+    assert set(i for i, _ in got) <= exact_top
+
+
 def test_merge_ann_equals_rebuild(spark, vecs, np_vecs, tmp_path):
     """ANN merge = rebuild from flat storage (M2), tombstones dropped (M5)."""
     from cuvs_lucene_spark.operators.ann import merge_ann

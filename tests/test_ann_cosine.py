@@ -113,6 +113,19 @@ def test_derived_modes_containment_and_exact_scores(spark, ccat, mode):
             assert sc == pytest.approx(float(s[i]), abs=1e-9)
 
 
+def test_bq_rerank_cosine(spark, ccat):
+    """BQ rescoring under a cosine index returns true cosine scores."""
+    from cuvs_lucene_spark.operators.ann import ann_topk_bq
+
+    q = X[42]
+    got = [(r["ext_id"], r["score"]) for r in
+           ann_topk_bq(spark, ccat, q, k=5, cfg=CFG, rerank_factor=8).collect()]
+    assert len(got) == 5
+    s = _cos(q)
+    for i, sc in got:
+        assert sc == pytest.approx(float(s[i]), abs=1e-9)
+
+
 def test_metric_mismatch_rejected(spark, ccat):
     with pytest.raises(ValueError, match="does not match index build metric"):
         ann_topk(spark, ccat, X[0], k=5, metric="l2", mode="ivf", cfg=CFG).collect()
