@@ -230,6 +230,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d).withColumnRenamed("doc_id", "ext_id"),
     ).select(F.col("ext_id").alias("doc_id"), "lang", "source", "score")
 
+    # S11 integrity: per-row sha256(content) equality between the index's
+    # doc_map and the source table, coverage both ways — (n_docs,
+    # n_violations) with n_violations provably 0 for an intact index
+    def _integrity(s, d):
+        from cuvs_lucene_spark.operators.segments import verify_integrity
+
+        viol = verify_integrity(
+            s, _index(s, d), _docs(s, d), content_col="text", id_col="doc_id"
+        )
+        return (
+            _docs(s, d).agg(F.count("*").cast("long").alias("n_docs"))
+            .crossJoin(viol.agg(F.count("*").cast("long").alias("n_violations")))
+        )
+
+    q["index_integrity"] = _integrity
+
     q["bm25_batch"] = lambda s, d: (
         __import__("cuvs_lucene_spark.operators.bm25", fromlist=["bm25_topk_batch"])
         .bm25_topk_batch(
@@ -246,6 +262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- ANN sidecar ----
     q["ann_exact_cosine"] = lambda s, d: exact_knn_expr(
         _embs(s, d), _qvec(s, d, 0), 10
+    ).select("vec_id", F.round("score", 6).alias("score"))
+    # DOT similarity on the exact path (the third similarity function the
+    # reference loads — LuceneProvider.getSimilarityFunctions:236-246;
+    # derived structures are l2/cosine only, exact scans support all three)
+    q["ann_exact_dot"] = lambda s, d: exact_knn_expr(
+        _embs(s, d), _qvec(s, d, 3), 10, metric="dot"
     ).select("vec_id", F.round("score", 6).alias("score"))
     q["ann_engine_l2"] = lambda s, d: ann_topk(
         s, _ann_index(s, d), _qvec(s, d, 7), k=10, metric="l2", cfg=CFG, mode="exact"
@@ -536,6 +558,18 @@ FROM embeddings
 ORDER BY list_dot_product(embedding::DOUBLE[], {_cos_q(0)})
          / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
             * sqrt(list_dot_product({_cos_q(0)}, {_cos_q(0)}))) DESC, vec_id ASC
+LIMIT 10
+""".strip()
+    o["index_integrity"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_violations
+FROM documents
+""".strip()
+
+    o["ann_exact_dot"] = f"""
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {_cos_q(3)}), 6) AS score
+FROM embeddings
+ORDER BY list_dot_product(embedding::DOUBLE[], {_cos_q(3)}) DESC, vec_id ASC
 LIMIT 10
 """.strip()
     o["ann_engine_l2"] = f"""
