@@ -144,6 +144,16 @@ def test_graph_multilayer_entry(spark, tmp_path):
     a = [tuple(r) for r in ann_topk_graph(spark, cat, x[222], k=10, cfg=cfg).collect()]
     b = [tuple(r) for r in ann_topk_graph(spark, cat, x[222], k=10, cfg=cfg).collect()]
     assert a == b
+    # acceptDocs through the layered descent: upper layers only navigate,
+    # the collector still never returns a filtered-out id
+    allowed = {int(i) for i in range(0, 2000, 2)}
+    flt = [
+        r["ext_id"]
+        for r in ann_topk_graph(
+            spark, cat, x[222], k=10, cfg=cfg, filter_ext_ids=allowed
+        ).collect()
+    ]
+    assert len(flt) == 10 and all(i % 2 == 0 for i in flt)
 
 
 def test_graph_single_vector_segment(spark, tmp_path):
