@@ -454,7 +454,6 @@ def duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components over near-duplicate candidate pairs →
     ``(id, component, keep)`` with ``component`` = the minimum id reachable
@@ -463,19 +462,21 @@ def duplicate_components(
     under-delete: A~B and B~C must collapse to ONE survivor even when A~C
     was never emitted as a candidate).
 
-    Algorithm: iterative min-label propagation. Every round each node
-    adopts the minimum label in its closed neighborhood (its own label and
-    all neighbors'); a fixpoint is the component minimum. Rounds needed =
-    the graph's diameter — near-dup clusters from banded candidates are
-    near-cliques (diameter ~2-3), so this converges in a handful of
-    rounds; ``max_iterations`` guards pathological chains (a 10^6-link
-    path wants the large-star/small-star variant instead, same skeleton).
+    Algorithm: iterative min-label propagation WITH pointer jumping.
+    Every round each node adopts the minimum label in its closed
+    neighborhood (its own label and all neighbors'), then follows one hop
+    through the label table (label ← label[label], path halving) — the
+    hop compresses chains exponentially, so rounds ≈ O(log diameter)
+    instead of O(diameter); a fixpoint is the component minimum.
+    ``max_iterations`` is a generous backstop.
 
-    Scale shape: each round is ONE equi-join on the node id + ONE
+    Scale shape: each round is TWO equi-joins on the node id + ONE
     groupBy(min) — compact long keys, no crossJoin, partial aggregation
-    map-side. ``localCheckpoint`` every ``checkpoint_every`` rounds severs
-    the growing lineage (iterative-plan hygiene; without it round t
-    replays rounds 1..t-1 on any recompute). Deterministic: min is
+    map-side. Every round eagerly ``localCheckpoint``s the new label
+    table and unpersists the previous round's frames — lineage stays one
+    round deep and executor storage stays bounded at two label tables
+    (iterative-plan hygiene; an unbounded cache chain OOMs the driver
+    long before the algorithm converges). Deterministic: min is
     order-independent.
 
     ``all_ids`` (one ``id`` column, optional): include singletons with
@@ -484,9 +485,14 @@ def duplicate_components(
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
-    und = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # materialize the pair graph ONCE — candidate generation (band joins,
+    # hamming verify, ...) upstream of `pairs` must not re-execute every
+    # propagation round
+    und = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         und.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -496,23 +502,35 @@ def duplicate_components(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-            )
+        cand = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
         )
-        if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.cache()
+        # pointer jump: every label IS a node id, so follow one hop
+        # through the PREVIOUS label table (already materialized — no
+        # extra pass) — chains collapse exponentially
+        hop = labels.select(
+            F.col("id").alias("hid"), F.col("label").alias("hlabel")
+        )
+        new_labels = (
+            cand.join(hop, cand["label"] == hop["hid"], "left")
+            .select(
+                cand["id"],
+                F.least(cand["label"], F.coalesce("hlabel", cand["label"])).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the previous round's checkpointed labels are now obsolete —
+        # release their storage (bounded at two label tables live)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
