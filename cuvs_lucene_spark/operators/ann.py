@@ -685,6 +685,7 @@ def ann_topk_sq(
     cfg: IndexConfig | None = None,
     rerank_factor: int = 3,
     filter_ext_ids=None,
+    visited_limit: int | None = None,
 ) -> DataFrame:
     """Scalar-quantized search path (B10/B11 read side, mirroring
     ``LuceneAcceleratedHNSWScalarQuantizedVectorsWriter.java:149-159`` /
@@ -714,6 +715,7 @@ def ann_topk_sq(
     m_coarse = k * max(1, rerank_factor)
     allowed = _sorted_ids(filter_ext_ids)
     tomb = _ann_tombstones(spark, cat)
+    budget = None if visited_limit is None else max(1, int(visited_limit))
 
     def scan(key, sqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
@@ -736,13 +738,15 @@ def ann_topk_sq(
         x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
         mask = _accept_mask(ids, allowed, tomb)
-        if mask is None:
-            cand = np.argsort(-coarse, kind="stable")[:m_coarse]
-        else:
-            ok = np.flatnonzero(mask)
-            if ok.size == 0:
-                return empty
-            cand = ok[np.argsort(-coarse[ok], kind="stable")[:m_coarse]]
+        ok = np.arange(n) if mask is None else np.flatnonzero(mask)
+        if budget is not None:
+            # visitedLimit contract (GPUPerLeafCuVSKnnCollector.java:26-38):
+            # at most `budget` vectors scored per leaf; a tiny budget
+            # degrades recall, never errors
+            ok = ok[:budget]
+        if ok.size == 0:
+            return empty
+        cand = ok[np.argsort(-coarse[ok], kind="stable")[:m_coarse]]
         s = _scores(x[cand], q, metric)
         top = np.argsort(-s, kind="stable")[:k]
         return pd.DataFrame(
@@ -770,6 +774,7 @@ def ann_topk_bq(
     cfg: IndexConfig | None = None,
     filter_ext_ids=None,
     rerank_factor: int | None = None,
+    visited_limit: int | None = None,
 ) -> DataFrame:
     """Top-k over binary-quantized codes by Hamming distance (the
     coarse/compressed search path of the BQ format). Approximate —
@@ -797,6 +802,7 @@ def ann_topk_bq(
     flat = cat.read(spark, "ann_flat").select(*flat_cols)
     allowed = _sorted_ids(filter_ext_ids)
     tomb = _ann_tombstones(spark, cat)
+    budget = None if visited_limit is None else max(1, int(visited_limit))
     from pyspark.sql import functions as F2
 
     part_schema = (
@@ -830,8 +836,10 @@ def ann_topk_bq(
         idx = np.arange(ids.size)
         if mask is not None:
             idx = idx[mask]
-            if idx.size == 0:
-                return empty
+        if budget is not None:
+            idx = idx[:budget]  # visitedLimit: cap vectors scored per leaf
+        if idx.size == 0:
+            return empty
         top = idx[np.lexsort((ids[idx], ham[idx]))[:m_coarse]]
         if not rerank:
             return pd.DataFrame(
@@ -941,6 +949,7 @@ def ann_topk_pq(
     cfg: IndexConfig | None = None,
     rerank_factor: int = 3,
     filter_ext_ids=None,
+    visited_limit: int | None = None,
 ) -> DataFrame:
     """PQ ADC search: per segment, build the (pq_dim × 2^bits) query LUT,
     score all codes with one fancy-index sum, take the coarse top
@@ -960,6 +969,7 @@ def ann_topk_pq(
     m_coarse = k * max(1, rerank_factor)
     allowed = _sorted_ids(filter_ext_ids)
     tomb = _ann_tombstones(spark, cat)
+    budget = None if visited_limit is None else max(1, int(visited_limit))
 
     def scan(key, pqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
@@ -984,13 +994,12 @@ def ann_topk_pq(
         x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
         mask = _accept_mask(ids, allowed, tomb)
-        if mask is None:
-            cand = np.argsort(approx, kind="stable")[:m_coarse]
-        else:
-            ok = np.flatnonzero(mask)
-            if ok.size == 0:
-                return empty
-            cand = ok[np.argsort(approx[ok], kind="stable")[:m_coarse]]
+        ok = np.arange(n) if mask is None else np.flatnonzero(mask)
+        if budget is not None:
+            ok = ok[:budget]  # visitedLimit: cap vectors scored per leaf
+        if ok.size == 0:
+            return empty
+        cand = ok[np.argsort(approx[ok], kind="stable")[:m_coarse]]
         s = _scores(x[cand], q, metric)
         top = np.argsort(-s, kind="stable")[:k]
         return pd.DataFrame(

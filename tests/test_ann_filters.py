@@ -167,3 +167,25 @@ def test_knn_join_ivf_bf_fallback(spark, tmp_path, xdata):
     )
     got = [r["vec_id"] for r in knn_join_ivf(spark, cat, qdf, k=3).collect()]
     assert 300 in got  # the fallback segment's vector is reachable
+
+
+def test_visit_budget_scan_formats(spark, acat):
+    """visitedLimit on the scan formats (SQ/PQ/BQ): at most `budget`
+    vectors are scored per leaf — a tiny budget degrades recall but never
+    errors; the contract of the reference's per-leaf collector applied
+    through the shared query path to every format."""
+    from cuvs_lucene_spark.operators.ann import ann_topk_bq, ann_topk_pq, ann_topk_sq
+
+    q = [0.1] * DIM
+    for fn, kw in [
+        (ann_topk_sq, {}),
+        (ann_topk_pq, {}),
+        (ann_topk_bq, {"rerank_factor": 2}),
+    ]:
+        tiny = fn(spark, acat, q, k=5, cfg=CFG, visited_limit=2, **kw).collect()
+        assert len(tiny) == 5  # enough segments to fill k even at budget 2
+        full = fn(spark, acat, q, k=5, cfg=CFG, **kw).collect()
+        assert len(full) == 5
+        # with budget >= segment size the result equals the unbudgeted one
+        same = fn(spark, acat, q, k=5, cfg=CFG, visited_limit=10**9, **kw).collect()
+        assert [tuple(r) for r in same] == [tuple(r) for r in full]
