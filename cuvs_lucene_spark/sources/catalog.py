@@ -58,11 +58,52 @@ class IndexCatalog:
             )
         return m
 
+    COMMIT_RETENTION = 8  # commit points kept (IndexDeletionPolicy analogue)
+
     def _write_manifest(self, m: dict) -> None:
+        # every manifest swap IS a commit point (Lucene: each IndexWriter
+        # commit creates an IndexCommit); keep a numbered copy so readers
+        # can be pinned to a past commit (reader_at)
+        m["commit_n"] = int(m.get("commit_n", 0)) + 1
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1, sort_keys=True)
+        cdir = os.path.join(self.root, "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        shutil.copyfile(tmp, os.path.join(cdir, f"manifest-{m['commit_n']:06d}.json"))
         os.replace(tmp, self._manifest_path())  # atomic snapshot swap
+        for name in sorted(os.listdir(cdir))[: -self.COMMIT_RETENTION]:
+            os.remove(os.path.join(cdir, name))
+
+    # -------------------------------------------------------- commit points
+    def commit_points(self) -> list[int]:
+        """Retained commit ids, oldest first — the Lucene
+        ``DirectoryReader.listCommits`` analogue."""
+        cdir = os.path.join(self.root, "_commits")
+        if not os.path.isdir(cdir):
+            return []
+        return sorted(
+            int(n[len("manifest-"):-len(".json")])
+            for n in os.listdir(cdir)
+            if n.startswith("manifest-")
+        )
+
+    def reader_at(self, commit_n: int) -> "CommitPointReader":
+        """Point-in-time READ-ONLY view of the index at a past commit
+        (``DirectoryReader.open(IndexCommit)``): queries against it see the
+        table set, appends, tombstones, and dropped-segment filters exactly
+        as they were — later writes are invisible. Retention: the last
+        ``COMMIT_RETENTION`` commits and each table's last 5 snapshots; a
+        pinned reader whose data files were pruned raises
+        FileNotFoundError (Lucene deletes unreferenced files the same
+        way once no deletion policy retains their commit)."""
+        p = os.path.join(self.root, "_commits", f"manifest-{commit_n:06d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"commit point {commit_n} not retained (have {self.commit_points()})"
+            )
+        with open(p) as f:
+            return CommitPointReader(self.root, json.load(f))
 
     # --------------------------------------------------------------- tables
     def table_dir(self, table: str) -> str | None:
@@ -248,3 +289,32 @@ class IndexCatalog:
         m = self.read_manifest()
         m["config"] = cfg
         self._write_manifest(m)
+
+
+class CommitPointReader(IndexCatalog):
+    """Read-only :class:`IndexCatalog` pinned to one past manifest — the
+    point-in-time reader every query operator accepts in place of the live
+    catalog (same ``read``/``read_manifest``/``exists`` surface). Any
+    mutation raises."""
+
+    def __init__(self, root: str, manifest: dict):
+        self.root = root  # no mkdir: never touches disk
+        self._pinned = manifest
+
+    def read_manifest(self) -> dict:
+        return self._pinned
+
+    def _write_manifest(self, m: dict) -> None:
+        raise PermissionError("commit-point reader is read-only")
+
+    def write(self, *a, **kw):
+        raise PermissionError("commit-point reader is read-only")
+
+    def append(self, *a, **kw):
+        raise PermissionError("commit-point reader is read-only")
+
+    def mark_stage(self, *a, **kw):
+        raise PermissionError("commit-point reader is read-only")
+
+    def set_config(self, cfg: dict) -> None:
+        raise PermissionError("commit-point reader is read-only")

@@ -1,0 +1,70 @@
+"""Commit-point (point-in-time) readers — the Lucene IndexCommit /
+DirectoryReader.open(commit) semantics: a reader pinned to a past commit
+sees the index exactly as it was; later deletes/writes are invisible.
+Retention mirrors an IndexDeletionPolicy (last N commits kept)."""
+
+import numpy as np
+import pytest
+
+from cuvs_lucene_spark.config import IndexConfig
+from cuvs_lucene_spark.operators.ann import ann_topk, build_ann, delete_ann
+from cuvs_lucene_spark.operators.bm25 import bm25_topk
+from cuvs_lucene_spark.operators.deletes import delete_by_term
+from cuvs_lucene_spark.operators.segments import build_index
+
+from tests.conftest import SF_DIR
+
+CFG = IndexConfig(rows_per_segment=200, block_size=32, term_buckets=8)
+
+
+def test_commit_point_reader_sees_predelete_state(spark, docs_df, tmp_path):
+    cat = build_index(
+        spark, docs_df, str(tmp_path / "idx"), CFG,
+        content_col="text", id_col="doc_id",
+    )
+    c_before = cat.commit_points()[-1]
+    live_before = [r["ext_id"] for r in
+                   bm25_topk(spark, cat, ["join", "vector"], k=10, cfg=CFG).collect()]
+    delete_by_term(spark, cat, "join", CFG)
+    live_after = [r["ext_id"] for r in
+                  bm25_topk(spark, cat, ["join", "vector"], k=10, cfg=CFG).collect()]
+    assert live_after != live_before  # deletes took effect on the live view
+    pinned = cat.reader_at(c_before)
+    pinned_res = [r["ext_id"] for r in
+                  bm25_topk(spark, pinned, ["join", "vector"], k=10, cfg=CFG).collect()]
+    assert pinned_res == live_before  # point-in-time: pre-delete results
+
+
+def test_commit_point_reader_ann(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(120, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(120)], "vec_id long, embedding array<float>"
+    )
+    cat = build_ann(spark, df, str(tmp_path / "ann"), CFG,
+                    id_col="vec_id", vector_col="embedding", rows_per_segment=60)
+    c0 = cat.commit_points()[-1]
+    delete_ann(spark, cat, [7])
+    live = [r["ext_id"] for r in
+            ann_topk(spark, cat, x[7], k=3, cfg=CFG, mode="exact").collect()]
+    assert 7 not in live
+    pinned = cat.reader_at(c0)
+    old = [r["ext_id"] for r in
+           ann_topk(spark, pinned, x[7], k=3, cfg=CFG, mode="exact").collect()]
+    assert old[0] == 7  # the deleted vector is visible at the old commit
+
+
+def test_commit_point_reader_is_read_only_and_bounded(spark, docs_df, tmp_path):
+    cat = build_index(
+        spark, docs_df.limit(50), str(tmp_path / "ro"), CFG,
+        content_col="text", id_col="doc_id",
+    )
+    pts = cat.commit_points()
+    assert pts and len(pts) <= cat.COMMIT_RETENTION  # retention policy holds
+    pinned = cat.reader_at(pts[-1])
+    with pytest.raises(PermissionError):
+        pinned.write(docs_df, "anything")
+    with pytest.raises(PermissionError):
+        pinned.mark_stage("x")
+    with pytest.raises(FileNotFoundError):
+        cat.reader_at(999_999)
