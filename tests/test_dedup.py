@@ -54,3 +54,47 @@ def test_duplicate_components_transitive_vs_pairs(spark, docs_df):
         members.setdefault(c, []).append(i)
     for c, ms in members.items():
         assert c == min(ms)
+
+
+def test_duplicate_components_random_vs_union_find(spark):
+    """Randomized cross-check: the Spark label propagation equals a plain
+    union-find reference on arbitrary graph shapes (chains, stars, cliques
+    emerge from uniform random pairs)."""
+    import numpy as np
+
+    from cuvs_lucene_spark.operators.dedup import duplicate_components
+
+    for seed in [1, 17, 99]:
+        rng = np.random.default_rng(seed)
+        n_nodes, n_edges = 200, 120
+        ea = rng.integers(0, n_nodes, n_edges)
+        eb = rng.integers(0, n_nodes, n_edges)
+        keep = ea != eb
+        ea, eb = ea[keep], eb[keep]
+        # union-find reference
+        parent = list(range(n_nodes))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a, b in zip(ea, eb):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for i in range(n_nodes):
+            expected.setdefault(find(i), []).append(i)
+        exp_comp = {i: min(ms) for ms in expected.values() for i in ms}
+
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in zip(ea, eb)], "id_a long, id_b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+        got = {
+            r["id"]: r["component"]
+            for r in duplicate_components(pairs, all_ids=ids).collect()
+        }
+        assert got == exp_comp, f"seed {seed} mismatch"
