@@ -68,3 +68,47 @@ def test_commit_point_reader_is_read_only_and_bounded(spark, docs_df, tmp_path):
         pinned.mark_stage("x")
     with pytest.raises(FileNotFoundError):
         cat.reader_at(999_999)
+
+
+def test_searcher_manager_analogue_concurrent(spark, docs_df, tmp_path):
+    """SearcherManager semantics: a reader pinned BEFORE a writer's commits
+    returns bit-identical results from concurrent threads while the live
+    index keeps changing underneath it."""
+    import threading
+
+    cat = build_index(
+        spark, docs_df, str(tmp_path / "sm"), CFG,
+        content_col="text", id_col="doc_id",
+    )
+    pinned = cat.reader_at(cat.commit_points()[-1])
+    baseline = [tuple(r) for r in
+                bm25_topk(spark, pinned, ["join", "vector"], k=10, cfg=CFG).collect()]
+
+    results, errors = {}, []
+
+    def searcher(tid):
+        try:
+            for _ in range(3):
+                got = [tuple(r) for r in
+                       bm25_topk(spark, pinned, ["join", "vector"], k=10, cfg=CFG).collect()]
+                assert got == baseline
+            results[tid] = True
+        except Exception as e:  # pragma: no cover
+            errors.append((tid, e))
+
+    threads = [threading.Thread(target=searcher, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    # writer keeps committing while searchers run (deletes mutate the live view)
+    delete_by_term(spark, cat, "join", CFG)
+    delete_by_term(spark, cat, "vector", CFG)
+    for t in threads:
+        t.join()
+    assert not errors and len(results) == 3
+    # live view did change; the pinned view did not
+    live = [tuple(r) for r in
+            bm25_topk(spark, cat, ["join", "vector"], k=10, cfg=CFG).collect()]
+    assert live != baseline
+    again = [tuple(r) for r in
+             bm25_topk(spark, pinned, ["join", "vector"], k=10, cfg=CFG).collect()]
+    assert again == baseline
