@@ -256,3 +256,66 @@ def sample_frames(df: DataFrame, every_s: float = 1.0, max_frames: int = 16) -> 
     return df.filter(F.col("kind") == "video").mapInPandas(
         run, "ext_id long, frame_idx int, ts_s double, frame_payload binary"
     )
+
+
+def resize_images(
+    df: DataFrame, out_h: int, out_w: int, fake: bool = False
+) -> DataFrame:
+    """Image payload → fixed-size pixel grid (the resize stage of a
+    multimodal training pipeline; the step every vision encoder needs
+    before batching).
+
+    PNG payloads decode through the REAL pure-python decoder and are
+    resampled with deterministic nearest-neighbor indexing
+    (``src = floor(dst · in/out)`` — bit-stable across runs and
+    platforms, no interpolation-order ambiguity). Other formats follow
+    ``decode_media``'s ladder: import-gated external decoder, the
+    deterministic fake, or NotImplementedError.
+
+    Output: one row per image, ``pixels`` = the (out_h · out_w · c)
+    row-major float grid in [0, 1] with the channel count preserved —
+    ready for ``np.stack`` batching inside a downstream encoder UDF, the
+    same Arrow-batch shape the ANN build consumes.
+    """
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize target must be positive")
+
+    def _resize(img: np.ndarray) -> np.ndarray:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, _c = img.shape
+        ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+        ci = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+        return img[ri[:, None], ci[None, :], :]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                p = bytes(r.payload or b"")
+                if p.startswith(PNG_MAGIC):
+                    img = decode_png(p).astype(np.float32) / 255.0
+                elif fake:
+                    side = max(1, int(np.sqrt(fake_decode(p).size)))
+                    img = fake_decode(p)[: side * side].reshape(side, side)
+                else:
+                    dec = _try_import_decoder("image")
+                    if dec is None:
+                        raise NotImplementedError(
+                            "no image decoder for this payload format; pass "
+                            "fake=True, use PNG payloads, or install PIL"
+                        )
+                    side = max(1, int(np.sqrt(fake_decode(p).size)))
+                    img = fake_decode(p)[: side * side].reshape(side, side)
+                out = _resize(np.asarray(img))
+                rows.append(
+                    (r.ext_id, out_h, out_w, out.shape[2],
+                     out.astype(np.float32).ravel().tolist())
+                )
+            yield pd.DataFrame(
+                rows, columns=["ext_id", "h", "w", "c", "pixels"]
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        run, "ext_id long, h int, w int, c int, pixels array<float>"
+    )

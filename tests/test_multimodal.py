@@ -180,3 +180,33 @@ def test_sample_frames_math(spark, media):
         assert [f for f, _ in sorted(frames)] == [0, 8, 16, 24]
         assert [t for _, t in sorted(frames)] == [0.0, 1.0, 2.0, 3.0]
     assert all(len(r["frame_payload"]) > 0 for r in out)
+
+
+def test_resize_images_real_png(spark):
+    """Nearest-neighbor resize over REAL decoded PNGs: hand-verifiable
+    index math (src = floor(dst*in/out)), channel preservation, upscale
+    and downscale, [0,1] normalization."""
+    from cuvs_lucene_spark.operators.multimodal import resize_images
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16  # gray gradient
+    rgb = np.random.default_rng(3).integers(0, 255, (6, 5, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, "image", encode_png(img), None),
+         (1, "image", encode_png(rgb), None),
+         (2, "audio", b"RIFFxxxxWAVE", None)],  # non-image: filtered out
+        "ext_id long, kind string, payload binary, meta map<string,double>",
+    )
+    out = {r["ext_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert set(out) == {0, 1}  # audio row excluded
+    # 4x4 -> 2x2 nearest with floor indexing picks rows/cols {0, 2}
+    got = np.array(out[0]["pixels"]).reshape(2, 2)
+    exp = (img[[0, 2]][:, [0, 2]].astype(np.float32) / 255.0)
+    assert np.allclose(got, exp)
+    assert (out[0]["h"], out[0]["w"], out[0]["c"]) == (2, 2, 1)
+    # RGB keeps 3 channels; values subset of the source pixels
+    assert out[1]["c"] == 3
+    assert len(out[1]["pixels"]) == 2 * 2 * 3
+    # upscale: every output pixel is an exact source pixel
+    up = {r["ext_id"]: r for r in resize_images(df, 8, 8).collect()}
+    gu = np.array(up[0]["pixels"]).reshape(8, 8)
+    assert set(np.round(np.unique(gu) * 255.0).astype(int)) <= set(img.ravel().tolist())
