@@ -210,3 +210,27 @@ def test_resize_images_real_png(spark):
     up = {r["ext_id"]: r for r in resize_images(df, 8, 8).collect()}
     gu = np.array(up[0]["pixels"]).reshape(8, 8)
     assert set(np.round(np.unique(gu) * 255.0).astype(int)) <= set(img.ravel().tolist())
+
+
+def test_features_feed_ann_pipeline(spark, tmp_path):
+    """End-to-end composition: media payloads → byte-histogram features →
+    ANN sidecar build → cosine top-k. The extract_features output feeds
+    build_ann unchanged (the multimodal embedding-pipeline shape)."""
+    from cuvs_lucene_spark.operators.ann import ann_topk, build_ann
+    from cuvs_lucene_spark.operators.multimodal import extract_features
+
+    rng = np.random.default_rng(8)
+    rows = [(i, "image", rng.bytes(400), None) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "ext_id long, kind string, payload binary, meta map<string,double>"
+    )
+    feats = extract_features(df, n_bins=32)
+    cat = build_ann(
+        spark, feats, str(tmp_path / "mmann"), id_col="ext_id",
+        vector_col="features", rows_per_segment=20,
+    )
+    qrow = feats.filter("ext_id = 5").collect()[0]["features"]
+    got = [r["ext_id"] for r in
+           ann_topk(spark, cat, qrow, k=3, metric="cosine", mode="exact").collect()]
+    assert got[0] == 5  # self-similarity wins
+    assert len(got) == 3
