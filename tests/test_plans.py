@@ -145,3 +145,32 @@ def test_ivf_distributed_probe_no_driver_collect(spark, tmp_path, monkeypatch):
     got = [(r["ext_id"], round(r["score"], 9)) for r in A.ann_topk(
         spark, cat, q, k=5, cfg=CFG, mode="ivf", probe_mode="distributed").collect()]
     assert got == want
+
+
+def test_cosine_ivf_plan_shape(spark, tmp_path):
+    """The cosine IVF probe keeps the scale-correct physical shape the L2
+    path is pinned to: list_id filter pushed to the parquet scan, a
+    broadcast hash join for the probe-pair semi-join, and never a
+    nested-loop join."""
+    import dataclasses
+
+    import numpy as np
+
+    from cuvs_lucene_spark.operators.ann import ann_topk, build_ann
+
+    ccfg = dataclasses.replace(
+        CFG, ann=dataclasses.replace(CFG.ann, metric="cosine")
+    )
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(300, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(300)], "vec_id long, embedding array<float>"
+    )
+    acat = build_ann(spark, df, str(tmp_path / "cosplan"), ccfg,
+                     id_col="vec_id", vector_col="embedding", rows_per_segment=100)
+    plan = _plan(ann_topk(spark, acat, x[0], k=5, metric="cosine",
+                          cfg=ccfg, mode="ivf"))
+    assert "list_id" in plan  # probe filter reaches the scan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
