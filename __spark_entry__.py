@@ -389,6 +389,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["knn_join_ivf"] = _knn_join_ivf_contained
+
+    # the bucketed join under a COSINE index: the probe normalizes the
+    # query bundle, lists hold raw vectors, scores are true cosine —
+    # containment per query vs the exact cosine top-3k
+    def _knn_join_ivf_cos_contained(s, d):
+        qdf = _embs(s, d).filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        eng = knn_join_ivf(s, _ann_cos_index(s, d), qdf, k=3)
+        exact = knn_join(qdf, _embs(s, d), k=9, metric="cosine")
+        flagged = eng.select("q_id", "vec_id").join(
+            exact.select("q_id", "vec_id").withColumn("inx", F.lit(1)),
+            ["q_id", "vec_id"],
+            "left",
+        )
+        return flagged.groupBy("q_id").agg(
+            F.count("*").cast("long").alias("n_returned"),
+            F.count("inx").cast("long").alias("n_contained"),
+        )
+
+    q["knn_join_ivf_cosine"] = _knn_join_ivf_cos_contained
     # binary-quantized hamming path — FULL oracle: the per-segment mean
     # centroid, sign bits, and hamming distance are all reproducible in SQL
     q["ann_bq_hamming"] = lambda s, d: __import__(
@@ -605,6 +626,7 @@ SELECT CAST(least(10, (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)) AS
 SELECT vec_id AS q_id, CAST(3 AS BIGINT) AS n_returned, CAST(3 AS BIGINT) AS n_contained
 FROM embeddings WHERE vec_id < 20
 """.strip()
+    o["knn_join_ivf_cosine"] = o["knn_join_ivf"]
     # full BQ oracle: per-segment (vec_id // ANN_RPS) double-precision mean
     # centroid → sign bits for every vector AND for the query (per segment)
     # → hamming → top-10 by (hamming asc, vec_id asc) — bit-for-bit the
