@@ -119,14 +119,14 @@ def _ann_cos_index(spark: SparkSession, sf_dir: str):
     return true cosine scores."""
     import dataclasses
 
-    key = (sf_dir, "anncos1")
+    key = (sf_dir, "anncos2")  # v2: BQ codes in navigation (unit) space
     if key in _CATS:
         return _CATS[key]
     ccfg = dataclasses.replace(
         CFG, ann=dataclasses.replace(CFG.ann, metric="cosine")
     )
     cat = build_ann(
-        spark, _embs(spark, sf_dir), _root(sf_dir, "anncos1"), ccfg,
+        spark, _embs(spark, sf_dir), _root(sf_dir, "anncos2"), ccfg,
         id_col="vec_id", vector_col="embedding", rows_per_segment=ANN_RPS,
     )
     if not cat.stage_done("ann_graph"):

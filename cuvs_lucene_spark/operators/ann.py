@@ -122,9 +122,12 @@ def _sq_rows(flat_df: DataFrame, metric: str = "l2") -> DataFrame:
     return flat_df.mapInPandas(build_sq, SQ_SCHEMA)
 
 
-def _bq_rows(flat_df: DataFrame) -> DataFrame:
+def _bq_rows(flat_df: DataFrame, metric: str = "l2") -> DataFrame:
     """Per-segment binary-quantized codes (B9): mean-centroid sign bits
-    packed 8/byte — the LuceneAcceleratedHNSWBinaryQuantized analogue."""
+    packed 8/byte — the LuceneAcceleratedHNSWBinaryQuantized analogue.
+    Cosine indexes quantize in navigation space (unit-normalized — the
+    Lucene normalize-before-quantize COSINE treatment), so the hamming
+    order tracks angular structure, not raw magnitudes."""
 
     def build_bq(it):
         from cuvs_lucene_spark.functions.quantize import binary_quantize
@@ -132,7 +135,7 @@ def _bq_rows(flat_df: DataFrame) -> DataFrame:
         for pdf in it:
             for r in pdf.itertuples():
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
-                packed, centroid = binary_quantize(x)
+                packed, centroid = binary_quantize(_nav_vectors(x, metric))
                 yield pd.DataFrame(
                     {
                         "segment_id": [r.segment_id],
@@ -275,7 +278,7 @@ def build_ann(
     cat.write(_sq_rows(flat_df, ann.metric), "ann_sq")
     cat.mark_stage("ann_sq")
 
-    cat.write(_bq_rows(flat_df), "ann_bq")
+    cat.write(_bq_rows(flat_df, ann.metric), "ann_bq")
     cat.mark_stage("ann_bq")
 
     cat.write(
@@ -619,7 +622,16 @@ def _centroid_pack(spark: SparkSession, cat: IndexCatalog) -> dict | None:
     memo = getattr(cat, "_centroid_pack_memo", None)
     if memo is not None and memo["ver"] == ver:
         return memo["pack"]
-    rows = _centroid_rows(spark, cat)
+    # collect WITHOUT the _centroid_rows memo: the pack copies the blobs
+    # into its own contiguous matrix, so also retaining the raw Row list
+    # would double the driver's centroid residency (the driver-mode
+    # memory budget is 'one pack ∝ total centroids', not two)
+    rows = (
+        cat.read(spark, "ann_ivf")
+        .filter(F.col("list_id") == -1)
+        .select("segment_id", "n", "ext_ids", "vectors")
+        .collect()
+    )
     pack = None
     if rows:
         mats, segs, lsts, nls, npbs = [], [], [], [], []
@@ -830,7 +842,8 @@ def ann_topk_bq(
             centroid = np.frombuffer(raw, np.float32).astype(np.float64)
         fr = fp.iloc[0]
         ids = np.frombuffer(fr["ext_ids"], np.int64)
-        qbits = np.packbits(q > centroid)
+        # query bits in the same (navigation) space the codes were built in
+        qbits = np.packbits(_nav_query(q, metric).astype(np.float64) > centroid)
         ham = np.unpackbits(codes ^ qbits[None, :], axis=1).sum(1)
         mask = _accept_mask(ids, allowed, tomb)
         idx = np.arange(ids.size)
@@ -1105,9 +1118,11 @@ def merge_ann(
     k-means'd independently in its own task, never one whole-corpus
     single-task rebuild.
 
-    ``tombstone_ext_ids`` defaults to the catalog's own ``ann_tombstones``
-    table (registered by :func:`delete_ann`); the table is cleared after
-    the rebuild since the deleted rows are now physically gone (M5)."""
+    ``tombstone_ext_ids`` ADDS to the catalog's own ``ann_tombstones``
+    table (registered by :func:`delete_ann`) — registered deletes always
+    apply, they are the liveDocs state ``MergedVectorValues`` skips; the
+    table is cleared after the rebuild since the deleted rows are now
+    physically gone (M5)."""
     import dataclasses
 
     cfg = cfg or IndexConfig()
@@ -1120,15 +1135,14 @@ def merge_ann(
         cfg = dataclasses.replace(
             cfg, ann=dataclasses.replace(cfg.ann, metric=built)
         )
-    if tombstone_ext_ids is None:
-        arr = _ann_tombstones(spark, cat)
-        tomb = arr if arr is not None and arr.size else None
-    else:
-        tomb = (
-            np.array(sorted(tombstone_ext_ids), dtype=np.int64)
-            if tombstone_ext_ids
-            else None
-        )
+    reg = _ann_tombstones(spark, cat)
+    extra = (
+        np.array(sorted(tombstone_ext_ids), dtype=np.int64)
+        if tombstone_ext_ids
+        else None
+    )
+    parts = [a for a in (reg, extra) if a is not None and a.size]
+    tomb = np.unique(np.concatenate(parts)) if parts else None
 
     def explode_flat(it):
         # distributed un-packing of the flat blobs back into rows — the

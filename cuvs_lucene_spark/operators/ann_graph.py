@@ -380,6 +380,12 @@ def ann_topk_graph(
             )
         if "layer" not in gp.columns:  # pre-multilayer graph tables
             gp = gp.assign(layer=0, stride=1)
+        else:
+            # mixed old/new snapshots (merge-schema read): pre-upgrade rows
+            # surface layer/stride as NULL — they ARE base-layer rows
+            gp = gp.assign(
+                layer=gp["layer"].fillna(0), stride=gp["stride"].fillna(1)
+            )
         base_rows = gp[gp["layer"] == 0]
         if base_rows.empty:
             return empty
@@ -426,7 +432,7 @@ def ann_topk_graph(
         )
 
     partials = (
-        cat.read(spark, "ann_graph")
+        cat.read(spark, "ann_graph", merge_schema=True)
         .groupby("segment_id")
         .cogroup(cat.read(spark, "ann_flat").groupby("segment_id"))
         .applyInPandas(scan, TOPK_SCHEMA)

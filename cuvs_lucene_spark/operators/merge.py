@@ -387,10 +387,13 @@ def merge_segments(
             "n_tokens": sum(int(r["n_tokens"]) for r in srows),
         },
     )
-    if n_total <= 2_000_000:  # NORMS_BROADCAST_MAX_DOCS gate (bm25.py)
-        try:
-            from cuvs_lucene_spark.operators.bm25 import _norms_broadcast
+    from cuvs_lucene_spark.operators.bm25 import (
+        NORMS_BROADCAST_MAX_DOCS,
+        _norms_broadcast,
+    )
 
+    if n_total <= NORMS_BROADCAST_MAX_DOCS:  # the query path's own gate
+        try:
             _norms_broadcast(spark, cat)
         except Exception:
             pass  # broadcast warmup is an optimization, never a merge failure

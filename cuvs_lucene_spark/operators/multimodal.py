@@ -74,6 +74,30 @@ def _try_import_decoder(kind: str):
     return None
 
 
+def _external_decode(kind: str, payload: bytes) -> np.ndarray | None:
+    """Decode through the import-gated external library when present
+    (PIL for images → float [0,1] pixel array; soundfile for audio →
+    mono float samples). None when no decoder is importable or the
+    payload fails to decode. Not exercisable in this container (the libs
+    are absent) — the real path for deployments that install them."""
+    mod = _try_import_decoder(kind)
+    if mod is None:
+        return None
+    import io
+
+    try:
+        if kind == "image":
+            img = np.asarray(mod.open(io.BytesIO(payload)))
+            return img.astype(np.float32) / 255.0
+        if kind == "audio":
+            samples, _rate = mod.read(io.BytesIO(payload))
+            a = np.asarray(samples, dtype=np.float32)
+            return a.mean(1) if a.ndim > 1 else a
+    except Exception:
+        return None
+    return None
+
+
 def fake_decode(payload: bytes, n: int = 256) -> np.ndarray:
     """Deterministic fake decoder: payload bytes → pseudo-pixels.
     Stands in for PIL/ffmpeg so the pipeline shape is testable here."""
@@ -187,14 +211,14 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 elif fake:
                     recs.append((r.ext_id, r.kind, fake_decode(p).tolist()))
                 else:
-                    dec = _try_import_decoder(r.kind)
-                    if dec is None:
+                    a = _external_decode(r.kind, p)
+                    if a is None:
                         raise NotImplementedError(
                             "no media decoder available for this payload format; "
                             "pass fake=True, use PNG/WAV payloads, or install "
                             "PIL/soundfile"
                         )
-                    recs.append((r.ext_id, r.kind, fake_decode(p).tolist()))
+                    recs.append((r.ext_id, r.kind, a.ravel().tolist()))
             yield pd.DataFrame(recs, columns=["ext_id", "kind", "decoded"])
 
     return df.mapInPandas(run, "ext_id long, kind string, decoded array<float>")
@@ -296,17 +320,16 @@ def resize_images(
                 if p.startswith(PNG_MAGIC):
                     img = decode_png(p).astype(np.float32) / 255.0
                 elif fake:
-                    side = max(1, int(np.sqrt(fake_decode(p).size)))
-                    img = fake_decode(p)[: side * side].reshape(side, side)
+                    fd = fake_decode(p)
+                    side = max(1, int(np.sqrt(fd.size)))
+                    img = fd[: side * side].reshape(side, side)
                 else:
-                    dec = _try_import_decoder("image")
-                    if dec is None:
+                    img = _external_decode("image", p)
+                    if img is None:
                         raise NotImplementedError(
                             "no image decoder for this payload format; pass "
                             "fake=True, use PNG payloads, or install PIL"
                         )
-                    side = max(1, int(np.sqrt(fake_decode(p).size)))
-                    img = fake_decode(p)[: side * side].reshape(side, side)
                 out = _resize(np.asarray(img))
                 rows.append(
                     (r.ext_id, out_h, out_w, out.shape[2],

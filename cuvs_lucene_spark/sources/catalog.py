@@ -190,7 +190,15 @@ class IndexCatalog:
         }
         self._write_manifest(m)
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, table: str, merge_schema: bool = False
+    ) -> DataFrame:
+        """``merge_schema``: resolve the UNION schema across the base
+        snapshot and appended increments (needed when a format upgrade
+        added columns — e.g. ann_graph's layer/stride — and pre-upgrade
+        snapshots coexist with new appends; old rows surface the new
+        columns as NULL instead of the schema being whichever file Spark
+        sampled first)."""
         ent = self.read_manifest()["tables"].get(table)
         if ent is not None and ent.get("view"):
             v = ent["view"]
@@ -198,7 +206,10 @@ class IndexCatalog:
         dirs = self.table_dirs(table)
         if not dirs:
             raise FileNotFoundError(f"table {table!r} not committed in {self.root}")
-        df = spark.read.parquet(*dirs)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*dirs)
         # logical segment drops (incremental merge): merged-away segments
         # stay on disk until a compaction rewrite but are filtered at every
         # read — the Lucene deleted-segment / Iceberg delete-manifest model

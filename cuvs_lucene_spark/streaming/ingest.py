@@ -132,6 +132,13 @@ def incremental_add_vectors(
     validate_vectors(vectors, vector_col, id_col, cfg.ann)
     m = cat.read_manifest()
     if "ann_metric" not in m.get("config", {}):
+        if cfg.ann.metric == "dot":
+            # same guard as build_ann: MIP has no normalize-to-L2
+            # reduction, the derived structures would rank wrong-metric
+            raise ValueError(
+                "metric 'dot' is supported on exact scans only; build the "
+                "index with 'l2' or 'cosine'"
+            )
         cat.set_config(
             {
                 **m.get("config", {}),
@@ -181,7 +188,7 @@ def incremental_add_vectors(
     metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
     cat.append(flat, "ann_flat", tag=tag)
     cat.append(_sq_rows(flat, metric), "ann_sq", tag=tag)
-    cat.append(_bq_rows(flat), "ann_bq", tag=tag)
+    cat.append(_bq_rows(flat, metric), "ann_bq", tag=tag)
     cat.append(_ivf_rows(flat, cfg.ann, metric), "ann_ivf", tag=tag)
     # derived graph/PQ structures (if built on this catalog) get this
     # epoch's segments too — per-segment independence means we only build
@@ -204,13 +211,18 @@ def incremental_add_vectors(
         .distinct()
         .collect()
     }
-    prev = set(
-        cat.read_manifest()["stages"].get("ann_ivf", {}).get("bf_fallback_segments", [])
-    )
-    cat.mark_stage(
-        "ann_ivf",
-        bf_fallback_segments=sorted(prev | (flat_segs - ivf_segs)),
-    )
+    prev_stage = cat.read_manifest()["stages"].get("ann_ivf", {})
+    prev = set(prev_stage.get("bf_fallback_segments", []))
+    # mark_stage REPLACES the stage dict — carry the other metrics forward
+    # (n_ivf_segments drives probe_mode=auto's driver→distributed
+    # escalation; losing it would pin a streaming-grown catalog to the
+    # driver-side probe forever)
+    carried = {
+        k: v for k, v in prev_stage.items() if k not in ("status", "at")
+    }
+    carried["bf_fallback_segments"] = sorted(prev | (flat_segs - ivf_segs))
+    carried["n_ivf_segments"] = len(ivf_segs)
+    cat.mark_stage("ann_ivf", **carried)
     flat.unpersist()
     cat.mark_stage(f"ann_epoch_{epoch}", n_epoch=epoch)
 

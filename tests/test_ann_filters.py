@@ -189,3 +189,28 @@ def test_visit_budget_scan_formats(spark, acat):
         # with budget >= segment size the result equals the unbudgeted one
         same = fn(spark, acat, q, k=5, cfg=CFG, visited_limit=10**9, **kw).collect()
         assert [tuple(r) for r in same] == [tuple(r) for r in full]
+
+
+def test_merge_ann_unions_registered_and_explicit_tombstones(spark, tmp_path):
+    """merge_ann with an EXPLICIT tombstone set must still apply the
+    catalog's registered deletes (liveDocs always drop at merge) — a
+    previously deleted vector must not be resurrected by the rebuild."""
+    from cuvs_lucene_spark.operators.ann import (
+        ann_topk,
+        build_ann,
+        delete_ann,
+        merge_ann,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    cat = build_ann(spark, df, str(tmp_path / "tb"), CFG,
+                    id_col="vec_id", vector_col="embedding", rows_per_segment=10)
+    delete_ann(spark, cat, [3])          # registered delete
+    merge_ann(spark, cat, CFG, tombstone_ext_ids={12})  # explicit EXTRA set
+    got = {r["ext_id"] for r in
+           ann_topk(spark, cat, [3.0, 0.0], k=20, cfg=CFG, mode="exact").collect()}
+    assert 3 not in got    # registered delete survived the merge
+    assert 12 not in got   # explicit delete applied
+    assert len(got) == 18  # everything else still present
