@@ -158,6 +158,26 @@ def _annmf_index(spark: SparkSession, sf_dir: str):
     return cat
 
 
+def _annmfc_index(spark: SparkSession, sf_dir: str):
+    """Mixed-metric two-field index: the same embedding column indexed
+    under l2 AND cosine in one catalog (per-field similarity, the enum the
+    reference persists per field in meta)."""
+    from cuvs_lucene_spark.operators.ann import build_ann_fields
+
+    key = (sf_dir, "annmfc1")
+    if key in _CATS:
+        return _CATS[key]
+    two = _embs(spark, sf_dir).select(
+        "vec_id", "embedding", F.col("embedding").alias("emb_cos")
+    )
+    cat = build_ann_fields(
+        spark, two, _root(sf_dir, "annmfc1"), CFG, id_col="vec_id",
+        fields={"embedding": "l2", "emb_cos": "cosine"}, rows_per_segment=ANN_RPS,
+    )
+    _CATS[key] = cat
+    return cat
+
+
 def _contain(eng: DataFrame, exact: DataFrame, key: str = "vec_id") -> DataFrame:
     """Reference containment criterion as an oracle-comparable result
     (TestCuVSRandomizedVectorSearch.java:140-143: returned ids ⊆ exact
@@ -437,6 +457,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _annmf_index(s, d), "emb_rev", list(reversed(_qvec(s, d, 7))),
         k=10, metric="l2", cfg=CFG, mode="exact",
     ).select(F.col("ext_id").alias("vec_id"), F.round("score", 6).alias("score"))
+    # per-field SIMILARITY: one catalog indexing the same column under two
+    # metrics; querying the cosine field must reproduce the exact cosine
+    # oracle bit-for-bit (per-field meta persistence, writeMeta:360-367)
+    q["ann_multi_field_cosine"] = lambda s, d: __import__(
+        "cuvs_lucene_spark.operators.ann", fromlist=["ann_topk_field"]
+    ).ann_topk_field(
+        s, _annmfc_index(s, d), "emb_cos", _qvec(s, d, 0),
+        k=10, metric="cosine", cfg=CFG, mode="exact",
+    ).select(F.col("ext_id").alias("vec_id"), F.round("score", 6).alias("score"))
 
     # ---- dedup / similarity ----
     q["dedup_exact"] = lambda s, d: dd.exact_dedup(_docs(s, d)).select(
@@ -601,6 +630,7 @@ ORDER BY list_distance(embedding::DOUBLE[], {_cos_q(7)}) ASC, vec_id ASC
 LIMIT 10
 """.strip()
     o["ann_multi_field"] = o["ann_engine_l2"]
+    o["ann_multi_field_cosine"] = o["ann_exact_cosine"]
     # approximate ANN paths: the deterministic expected value of the
     # containment check is "every returned id is inside the exact top-3k",
     # i.e. n_returned = n_contained = min(k, N)
