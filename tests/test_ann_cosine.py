@@ -197,3 +197,40 @@ def test_merge_preserves_cosine(spark, tmp_path):
     exact = [int(i) for i in np.lexsort((IDS[:200], -s))[:15]]
     assert got[0] == 17
     assert set(got) <= set(exact)
+
+
+def test_multi_field_mixed_metrics(spark, tmp_path):
+    """One catalog, same column indexed under l2 AND cosine: each field
+    searches under its own similarity (per-field meta persistence) and a
+    wrong-metric query against a field raises."""
+    from cuvs_lucene_spark.operators.ann import (
+        ann_topk_field,
+        build_ann_fields,
+        field_catalog,
+    )
+
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), X[i].tolist()) for i in range(200)],
+        "vec_id long, emb_l2 array<float>, emb_cos array<float>",
+    )
+    cat = build_ann_fields(
+        spark, df, str(tmp_path / "mixed"), CFG, id_col="vec_id",
+        fields={"emb_l2": "l2", "emb_cos": "cosine"}, rows_per_segment=100,
+    )
+    q = X[9]
+    cos_ids = [r["ext_id"] for r in
+               ann_topk_field(spark, cat, "emb_cos", q, k=5, metric="cosine",
+                              mode="exact", cfg=CFG).collect()]
+    s = _cos(q)[:200]
+    assert cos_ids == [int(i) for i in np.lexsort((IDS[:200], -s))[:5]]
+    l2_ids = [r["ext_id"] for r in
+              ann_topk_field(spark, cat, "emb_l2", q, k=5, metric="l2",
+                             mode="exact", cfg=CFG).collect()]
+    d2 = ((X[:200].astype(np.float64) - q) ** 2).sum(1)
+    assert l2_ids == [int(i) for i in np.lexsort((IDS[:200], d2))[:5]]
+    assert cos_ids != l2_ids  # the metrics genuinely diverge on this data
+    # wrong-metric probe against a field's derived structures is rejected
+    with pytest.raises(ValueError, match="does not match index build metric"):
+        ann_topk_field(spark, cat, "emb_cos", q, k=5, metric="l2",
+                       mode="ivf", cfg=CFG).collect()
+    assert field_catalog(cat, "emb_cos").read_manifest()["config"]["ann_metric"] == "cosine"
