@@ -484,6 +484,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = lambda s, d: dd.ngram_jaccard_pairs(
         _docs(s, d), shingle_n=3, threshold=0.12
     )
+    # the COMPLETE near-dup pipeline in one decision table: exact
+    # Jaccard-verified pairs → connected components → keep list
+    q["near_dup_keep_list"] = lambda s, d: dd.duplicate_components(
+        dd.ngram_jaccard_pairs(_docs(s, d), shingle_n=3, threshold=0.12),
+        all_ids=_docs(s, d).select("doc_id"),
+    )
     q["simhash"] = lambda s, d: dd.simhash(_docs(s, d)).select(
         F.col("id").alias("doc_id"), "simhash"
     )
@@ -730,6 +736,21 @@ FROM inter
 JOIN sz sa ON sa.id = id_a
 JOIN sz sb ON sb.id = id_b
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.12
+""".strip()
+    o["near_dup_keep_list"] = f"""
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({o["ngram_jaccard"]})),
+und AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(id, r) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+),
+comp AS (SELECT id, min(r) AS m FROM reach GROUP BY id)
+SELECT d.doc_id AS id,
+       least(d.doc_id, coalesce(comp.m, d.doc_id)) AS component,
+       d.doc_id = least(d.doc_id, coalesce(comp.m, d.doc_id)) AS keep
+FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
 """.strip()
     o["simhash"] = f"""
 WITH tf AS (
