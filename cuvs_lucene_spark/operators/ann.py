@@ -1180,6 +1180,35 @@ def merge_ann(
         )
 
 
+QPACK_SCHEMA = "qn int, q_ids binary, q_mat binary"
+QPACK_CHUNK = 1024  # queries per packed row (bounds probe-pair row size)
+PAIR_SCHEMA = "segment_id long, list_id int, q_id long, q_vec array<double>"
+
+
+def _pack_query_batches(q: DataFrame) -> DataFrame:
+    """Query rows → packed batch rows (ids blob + float64 matrix blob).
+    The pack is the distributed-probe transport: small enough to broadcast
+    to the centroid scan, so per-query probe ranking runs executor-side
+    with ZERO driver state — the query side is never collected."""
+
+    def pack(it):
+        for pdf in it:
+            for lo in range(0, len(pdf), QPACK_CHUNK):
+                sub = pdf.iloc[lo : lo + QPACK_CHUNK]
+                qm = np.stack(
+                    [np.asarray(v, np.float64) for v in sub["q_vec"].to_numpy()]
+                )
+                yield pd.DataFrame(
+                    {
+                        "qn": [len(sub)],
+                        "q_ids": [sub["q_id"].to_numpy(np.int64).tobytes()],
+                        "q_mat": [qm.tobytes()],
+                    }
+                )
+
+    return q.mapInPandas(pack, QPACK_SCHEMA)
+
+
 def knn_join_ivf(
     spark: SparkSession,
     cat: IndexCatalog,
@@ -1188,6 +1217,7 @@ def knn_join_ivf(
     q_id: str = "q_id",
     q_vec: str = "q_vec",
     nprobe: int | None = None,
+    probe_mode: str = "auto",
 ) -> DataFrame:
     """Scalable kNN join through the IVF sidecar (the bucketed composition
     ``knn_join``'s docstring promises): for every query row, its k nearest
@@ -1195,99 +1225,195 @@ def knn_join_ivf(
 
     Shape at scale — never an all-pairs crossJoin:
     1. one tiny centroids scan (pushed ``list_id = -1`` filter);
-    2. every query picks its ``nprobe`` closest lists per segment —
-       computed in one pass over the (small) query side against the
-       broadcast centroid set;
+    2. every query picks its ``nprobe`` closest lists per segment;
     3. probe pairs are aggregated to ONE row per (segment_id, list_id)
        carrying the bundle of querying vectors, then broadcast-hash-joined
        to ``ann_ivf`` on the bucket key — each list blob crosses the wire
        exactly once regardless of how many queries probe it;
     4. per-list exact scoring (vectorized q-bundle × list matrix), then a
        windowed global top-k per query.
+
+    ``probe_mode`` picks where step (2) runs, mirroring :func:`ann_topk`:
+
+    - ``driver`` — centroid rows are collected ONCE (memoized) and probe
+      ranking runs inside the query-side ``mapInPandas`` closure.
+      Latency-optimal; driver/closure memory ∝ total centroids.
+    - ``distributed`` — the query side is packed into batch rows
+      (:func:`_pack_query_batches`) and broadcast against the pruned
+      ``list_id = -1`` centroid scan; ranking runs next to the scan. NO
+      state anywhere grows with segment count — the 10⁶-segment path
+      (the reference's per-leaf search state never lives on one node,
+      ``CuVS2510GPUVectorsReader.search:398-523`` is per-segment).
+    - ``auto`` — ``driver`` while the build-time segment count is at most
+      ``PROBE_DRIVER_MAX_SEGMENTS``, else ``distributed``.
+
     Approximate (probe recall), validated by containment against the exact
     oracle like the reference's randomized search tests."""
     metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
     ivf = cat.read(spark, "ann_ivf") if cat.exists("ann_ivf") else None
-    crows = _centroid_rows(spark, cat) if ivf is not None else []
+    stage = cat.read_manifest()["stages"].get("ann_ivf", {})
+    n_segs = stage.get("n_ivf_segments")
+    distributed = probe_mode == "distributed" or (
+        probe_mode == "auto"
+        and n_segs is not None
+        and n_segs > PROBE_DRIVER_MAX_SEGMENTS
+    )
     # B2 degradation ladder: segments too small for an IVF index are
     # brute-forced — every query probes them as one pseudo-list (-2), so
     # their vectors are reachable exactly like ann_topk's bf fallback
-    bf_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
-        "bf_fallback_segments"
-    )
+    bf_segs = stage.get("bf_fallback_segments")
     if bf_segs is None:
         flat_seg = {
             r["segment_id"]
             for r in cat.read(spark, "ann_flat").select("segment_id").collect()
         }
-        ivf_seg = {int(r["segment_id"]) for r in crows}
+        if ivf is not None:
+            ivf_seg = {
+                int(r["segment_id"])
+                for r in ivf.filter(F.col("list_id") == -1)
+                .select("segment_id").collect()
+            }
+        else:
+            ivf_seg = set()
         bf_segs = sorted(flat_seg - ivf_seg)
     bf_segs = [int(s) for s in bf_segs]
-    if not crows and not bf_segs:
-        return spark.createDataFrame(
-            [], "q_id long, vec_id long, score double, rank int"
-        )
     tomb = _ann_tombstones(spark, cat)
-    # compact centroid pack, broadcast to the distributed probe pass —
-    # the query side is NEVER collected to the driver
-    cent_pack = []
-    for r in crows:
-        raw = r["ext_ids"]
-        n_lists = int(r["n"])
-        n_total = int(np.frombuffer(raw, np.int64)[0]) if raw else n_lists * 2000
-        cent_pack.append(
-            (int(r["segment_id"]), n_lists, n_total, bytes(r["vectors"]))
-        )
     fixed_nprobe = nprobe
 
     q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"))
 
-    def probe_fn(it):
-        # per query batch: nprobe closest lists in every segment (vectorized
-        # (Q, L) distance per segment)
-        for pdf in it:
-            if not len(pdf):
-                continue
-            qb = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["q_vec"].to_numpy()]
-            )
-            if metric == "cosine":
-                # centroids/lists live in unit space; cosine is scale-
-                # invariant in q, so the normalized bundle is also
-                # score-exact downstream
-                nr = np.linalg.norm(qb, axis=1, keepdims=True)
-                nr[nr == 0] = 1.0
-                qb = qb / nr
-            dim = qb.shape[1]
-            qi_ids = pdf["q_id"].to_numpy(np.int64)
-            for seg, n_lists, n_total, blob in cent_pack:
-                cents = np.frombuffer(blob, np.float32).reshape(n_lists, dim).astype(np.float64)
-                npb = fixed_nprobe or max(
-                    1, min(n_lists, ivf_pq_params(n_total, dim)["n_probes"])
-                )
-                d = -2.0 * qb @ cents.T + (cents**2).sum(1)[None, :]
-                probe = np.argsort(d, axis=1, kind="stable")[:, :npb]
-                yield pd.DataFrame(
-                    {
-                        "segment_id": seg,
-                        "list_id": probe.ravel().astype(np.int32),
-                        "q_id": np.repeat(qi_ids, npb),
-                        "q_vec": list(np.repeat(qb, npb, axis=0)),
-                    }
-                )
-            for seg in bf_segs:  # every query scans the index-less segments
-                yield pd.DataFrame(
-                    {
-                        "segment_id": seg,
-                        "list_id": np.int32(-2),
-                        "q_id": qi_ids,
-                        "q_vec": list(qb),
-                    }
-                )
+    def _norm_qb(qb: np.ndarray) -> np.ndarray:
+        if metric != "cosine":
+            return qb
+        # centroids/lists live in unit space; cosine is scale-invariant
+        # in q, so the normalized bundle is also score-exact downstream
+        nr = np.linalg.norm(qb, axis=1, keepdims=True)
+        nr[nr == 0] = 1.0
+        return qb / nr
 
-    pairs = q.mapInPandas(
-        probe_fn, "segment_id long, list_id int, q_id long, q_vec array<double>"
-    )
+    def _rank_lists(qb: np.ndarray, cents: np.ndarray, n_total: int) -> np.ndarray:
+        npb = fixed_nprobe or max(
+            1, min(cents.shape[0], ivf_pq_params(n_total, qb.shape[1])["n_probes"])
+        )
+        d = -2.0 * qb @ cents.T + (cents**2).sum(1)[None, :]
+        return np.argsort(d, axis=1, kind="stable")[:, :npb]
+
+    if distributed and ivf is not None:
+        # probe ranking runs NEXT TO the pruned centroid scan; the query
+        # pack is broadcast (executor-side), never collected to the driver
+        qpack = _pack_query_batches(q)
+
+        def probe_dist(it):
+            for pdf in it:
+                for r in pdf.itertuples():
+                    qb = _norm_qb(
+                        np.frombuffer(r.q_mat, np.float64).reshape(int(r.qn), -1)
+                    )
+                    qi_ids = np.frombuffer(r.q_ids, np.int64)
+                    n_lists = int(r.n)
+                    cents = (
+                        np.frombuffer(r.vectors, np.float32)
+                        .reshape(n_lists, qb.shape[1]).astype(np.float64)
+                    )
+                    raw = r.ext_ids
+                    n_total = (
+                        int(np.frombuffer(raw, np.int64)[0])
+                        if raw else n_lists * 2000
+                    )
+                    probe = _rank_lists(qb, cents, n_total)
+                    npb = probe.shape[1]
+                    yield pd.DataFrame(
+                        {
+                            "segment_id": int(r.segment_id),
+                            "list_id": probe.ravel().astype(np.int32),
+                            "q_id": np.repeat(qi_ids, npb),
+                            "q_vec": list(np.repeat(qb, npb, axis=0)),
+                        }
+                    )
+
+        pairs = (
+            ivf.filter(F.col("list_id") == -1)
+            .select("segment_id", "n", "ext_ids", "vectors")
+            .crossJoin(F.broadcast(qpack))
+            .mapInPandas(probe_dist, PAIR_SCHEMA)
+        )
+        if bf_segs:
+
+            def bf_dist(it):
+                for pdf in it:
+                    for r in pdf.itertuples():
+                        qb = _norm_qb(
+                            np.frombuffer(r.q_mat, np.float64).reshape(int(r.qn), -1)
+                        )
+                        qi_ids = np.frombuffer(r.q_ids, np.int64)
+                        yield pd.DataFrame(
+                            {
+                                "segment_id": int(r.segment_id),
+                                "list_id": np.int32(-2),
+                                "q_id": qi_ids,
+                                "q_vec": list(qb),
+                            }
+                        )
+
+            bf_df = spark.createDataFrame(
+                [(int(s),) for s in bf_segs], "segment_id long"
+            )
+            pairs = pairs.unionByName(
+                bf_df.crossJoin(F.broadcast(qpack)).mapInPandas(bf_dist, PAIR_SCHEMA)
+            )
+    else:
+        crows = _centroid_rows(spark, cat) if ivf is not None else []
+        if not crows and not bf_segs:
+            return spark.createDataFrame(
+                [], "q_id long, vec_id long, score double, rank int"
+            )
+        # compact centroid pack in the task closure; the query side is
+        # still never collected (latency mode — closure ∝ total segments)
+        cent_pack = []
+        for r in crows:
+            raw = r["ext_ids"]
+            n_lists = int(r["n"])
+            n_total = int(np.frombuffer(raw, np.int64)[0]) if raw else n_lists * 2000
+            cent_pack.append(
+                (int(r["segment_id"]), n_lists, n_total, bytes(r["vectors"]))
+            )
+
+        def probe_fn(it):
+            # per query batch: nprobe closest lists in every segment
+            # (vectorized (Q, L) distance per segment)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                qb = _norm_qb(
+                    np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["q_vec"].to_numpy()]
+                    )
+                )
+                dim = qb.shape[1]
+                qi_ids = pdf["q_id"].to_numpy(np.int64)
+                for seg, n_lists, n_total, blob in cent_pack:
+                    cents = np.frombuffer(blob, np.float32).reshape(n_lists, dim).astype(np.float64)
+                    probe = _rank_lists(qb, cents, n_total)
+                    npb = probe.shape[1]
+                    yield pd.DataFrame(
+                        {
+                            "segment_id": seg,
+                            "list_id": probe.ravel().astype(np.int32),
+                            "q_id": np.repeat(qi_ids, npb),
+                            "q_vec": list(np.repeat(qb, npb, axis=0)),
+                        }
+                    )
+                for seg in bf_segs:  # every query scans the index-less segments
+                    yield pd.DataFrame(
+                        {
+                            "segment_id": seg,
+                            "list_id": np.int32(-2),
+                            "q_id": qi_ids,
+                            "q_vec": list(qb),
+                        }
+                    )
+
+        pairs = q.mapInPandas(probe_fn, PAIR_SCHEMA)
     # ONE row per probed bucket carrying its query bundle: the fat list
     # blob joins exactly once however many queries probe it. AQE picks
     # broadcast vs shuffled hash join by bundle size.

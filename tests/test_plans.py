@@ -147,6 +147,84 @@ def test_ivf_distributed_probe_no_driver_collect(spark, tmp_path, monkeypatch):
     assert got == want
 
 
+def test_knn_join_ivf_distributed_probe_no_driver_collect(spark, tmp_path, monkeypatch):
+    """knn_join_ivf's distributed probe: NO collect whose size grows with
+    segment count (the centroid pack must never land in the driver /
+    closure) — poison the driver-pack helpers and assert the distributed
+    result matches the driver-ranked one, bf-fallback segment included."""
+    import cuvs_lucene_spark.operators.ann as A
+
+    n = 301  # segments of 150/150/1 — the last is a bf-fallback pseudo-list
+    rows = [(i, [float(i % 13), float(i % 7), float(i % 5), 1.0] * 2) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cat = A.build_ann(
+        spark, df, str(tmp_path / "joinprobe"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=150,
+    )
+    qdf = df.filter(F.col("vec_id").isin([0, 17, 300])).selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    want = sorted(
+        (r["q_id"], r["rank"], r["vec_id"], r["score"])
+        for r in A.knn_join_ivf(spark, cat, qdf, k=3, probe_mode="driver").collect()
+    )
+    monkeypatch.setattr(
+        A, "_centroid_rows",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver centroid collect on the distributed join path")
+        ),
+    )
+    monkeypatch.setattr(
+        A, "_centroid_pack",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver centroid pack on the distributed join path")
+        ),
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["vec_id"], r["score"])
+        for r in A.knn_join_ivf(spark, cat, qdf, k=3, probe_mode="distributed").collect()
+    )
+    assert got == want
+
+
+def test_probe_ladder_auto_switches_to_distributed(spark, tmp_path, monkeypatch):
+    """Scale-shape regression: above PROBE_DRIVER_MAX_SEGMENTS the auto
+    probe mode must leave the driver — for BOTH ann_topk and knn_join_ivf —
+    and return results identical to the driver-ranked mode."""
+    import cuvs_lucene_spark.operators.ann as A
+
+    rows = [(i, [float(i % 11), float(i % 3), 2.0, 1.0] * 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cat = A.build_ann(
+        spark, df, str(tmp_path / "ladder"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=20,
+    )
+    assert cat.read_manifest()["stages"]["ann_ivf"]["n_ivf_segments"] == 5
+    q = [1.0] * 8
+    qdf = df.filter(F.col("vec_id") < 3).selectExpr("vec_id AS q_id", "embedding AS q_vec")
+    want_topk = [(r["ext_id"], round(r["score"], 9)) for r in A.ann_topk(
+        spark, cat, q, k=5, cfg=CFG, mode="ivf", probe_mode="driver").collect()]
+    want_join = sorted(
+        (r["q_id"], r["rank"], r["vec_id"]) for r in
+        A.knn_join_ivf(spark, cat, qdf, k=3, probe_mode="driver").collect()
+    )
+    # 5 segments > a ladder threshold of 2 → auto must pick distributed
+    monkeypatch.setattr(A, "PROBE_DRIVER_MAX_SEGMENTS", 2)
+    boom = lambda *a, **k: (_ for _ in ()).throw(  # noqa: E731
+        AssertionError("auto mode stayed on the driver above the ladder threshold")
+    )
+    monkeypatch.setattr(A, "_centroid_pack", boom)
+    monkeypatch.setattr(A, "_centroid_rows", boom)
+    got_topk = [(r["ext_id"], round(r["score"], 9)) for r in A.ann_topk(
+        spark, cat, q, k=5, cfg=CFG, mode="ivf", probe_mode="auto").collect()]
+    got_join = sorted(
+        (r["q_id"], r["rank"], r["vec_id"]) for r in
+        A.knn_join_ivf(spark, cat, qdf, k=3, probe_mode="auto").collect()
+    )
+    assert got_topk == want_topk
+    assert got_join == want_join
+
+
 def test_cosine_ivf_plan_shape(spark, tmp_path):
     """The cosine IVF probe keeps the scale-correct physical shape the L2
     path is pinned to: list_id filter pushed to the parquet scan, a
