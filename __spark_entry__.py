@@ -354,6 +354,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _exact_filtered30(s, d),
     )
 
+    # DataFrame-filter tier (bm25's FILTER_BROADCAST_MAX scheme on the ANN
+    # paths): the filter arrives as a DataFrame and is FORCED through the
+    # per-segment packed-blob path (filter_mode='df' — no driver-side id
+    # set anywhere); acceptDocs resolve executor-side from the ann_ids map,
+    # the reference's filter-derives-from-the-index contract
+    # (GPUKnnFloatVectorQuery.java:43-51). Containment vs the exact
+    # filtered top-3k.
+    def _even_df(s, d):
+        return _embs(s, d).filter(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("ext_id")
+        )
+
+    q["ann_filter_df"] = lambda s, d: _contain(
+        ann_topk(
+            s, _ann_index(s, d), _qvec(s, d, 7), k=10, metric="l2", cfg=CFG,
+            mode="ivf", filter_ext_ids=_even_df(s, d), filter_mode="df",
+        ).select(F.col("ext_id").alias("vec_id")),
+        ann_topk(
+            s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2", cfg=CFG,
+            mode="exact", filter_ext_ids=_even_df(s, d), filter_mode="df",
+        ).select(F.col("ext_id").alias("vec_id")),
+    )
+
     # COSINE metric on the derived formats (similarity enum parity —
     # EUCLIDEAN and COSINE exercised through the same codec,
     # TestMerge.java:167): containment vs the engine's exact cosine top-3k
@@ -658,6 +681,7 @@ SELECT CAST(least(10, (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)) AS
 """.strip()
     o["ann_graph_filtered"] = _contain10_even
     o["ann_sq_filtered"] = _contain10_even
+    o["ann_filter_df"] = _contain10_even
     o["knn_join_ivf"] = """
 SELECT vec_id AS q_id, CAST(3 AS BIGINT) AS n_returned, CAST(3 AS BIGINT) AS n_contained
 FROM embeddings WHERE vec_id < 20

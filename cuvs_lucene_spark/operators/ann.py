@@ -34,7 +34,9 @@ from cuvs_lucene_spark.config import AnnParams, IndexConfig, ivf_pq_params
 from cuvs_lucene_spark.functions.quantize import scalar_dequantize, scalar_quantize, widen_unsigned
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
-ANN_FORMAT_VERSION = 2  # v2: centroid rows carry n_total; bf-fallback list in manifest
+ANN_FORMAT_VERSION = 3  # v2: centroid rows carry n_total; bf-fallback list in
+                        # manifest. v3: thin ann_ids map (DataFrame filter tier);
+                        # pre-v3 indexes self-heal the map on first large filter
 
 FLAT_SCHEMA = "segment_id long, n_vecs int, dim int, ext_ids binary, vectors binary"
 PQ_SCHEMA = (
@@ -272,6 +274,15 @@ def build_ann(
     cat.write(flat, "ann_flat")
     cat.mark_stage("ann_flat")
 
+    # thin row-level (segment_id, ext_id) map — the DataFrame-filter tier's
+    # join target (and the merge policy's id→segment resolver)
+    cat.write(
+        base.select("segment_id", "ext_id"),
+        "ann_ids",
+        sort_within_partitions=["segment_id", "ext_id"],
+    )
+    cat.mark_stage("ann_ids")
+
     # derived stages read the committed flat blobs (merge reads flat only, M4)
     flat_df = cat.read(spark, "ann_flat")
 
@@ -320,6 +331,107 @@ def _sorted_ids(ids) -> np.ndarray | None:
     if isinstance(ids, np.ndarray):
         return np.sort(ids.astype(np.int64))
     return np.array(sorted(int(i) for i in ids), dtype=np.int64)
+
+
+FILTER_BROADCAST_MAX = 200_000  # DataFrame filters above this resolve to
+                                # per-segment packed blobs, never a driver set
+
+
+def _ann_ids(spark: SparkSession, cat: IndexCatalog) -> DataFrame:
+    """Thin (segment_id, ext_id) map of the ANN sidecar — the row-level
+    ord→doc table (S6) that lets a DataFrame filter resolve to per-segment
+    masks with one equi-join (the role doc_map plays for the bm25 filter
+    tier). Written at build; lazily derived + committed once for pre-v4
+    indexes (commit-point readers derive without persisting)."""
+    if cat.exists("ann_ids"):
+        return cat.read(spark, "ann_ids")
+
+    def explode(it):
+        for pdf in it:
+            for r in pdf.itertuples():
+                yield pd.DataFrame(
+                    {
+                        "segment_id": int(r.segment_id),
+                        "ext_id": np.frombuffer(r.ext_ids, np.int64),
+                    }
+                )
+
+    ids = (
+        cat.read(spark, "ann_flat")
+        .select("segment_id", "ext_ids")
+        .mapInPandas(explode, "segment_id long, ext_id long")
+    )
+    try:
+        cat.write(ids, "ann_ids", sort_within_partitions=["segment_id", "ext_id"])
+        return cat.read(spark, "ann_ids")
+    except PermissionError:  # pinned commit-point reader: derive per query
+        return ids
+
+
+def _filter_blobs(spark: SparkSession, cat: IndexCatalog, fdf: DataFrame) -> DataFrame:
+    """Per-segment packed allowed-set blobs (sorted int64 ext_ids) resolved
+    EXECUTOR-side from the ann_ids map — the bm25 large-filter tier
+    (bm25._aux_df) applied to the ANN paths. Matches the reference's
+    acceptDocs contract: the filter bits derive from the index per leaf,
+    they are never shipped from the caller
+    (``GPUKnnFloatVectorQuery.java:43-51``). Segments with no allowed id
+    produce no blob row, so an inner join prunes them from the scan."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "segment_id": [int(pdf["segment_id"].iloc[0])],
+                "allowed": [np.sort(pdf["ext_id"].to_numpy(np.int64)).tobytes()],
+            }
+        )
+
+    return (
+        _ann_ids(spark, cat)
+        .join(fdf, "ext_id", "left_semi")
+        .groupBy("segment_id")
+        .applyInPandas(pack, "segment_id long, allowed binary")
+    )
+
+
+def _resolve_filter(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    filter_ext_ids,
+    filter_mode: str = "auto",
+) -> tuple[np.ndarray | None, DataFrame | None]:
+    """Two-tier filter resolution shared by every ANN search path →
+    (sorted driver-side array | None, per-segment blob DataFrame | None).
+
+    Small sets/arrays keep the closure fast path; a DataFrame filter stays
+    a DataFrame above ``FILTER_BROADCAST_MAX`` ids (``filter_mode``:
+    ``auto`` probes the size with one limit(N+1) collect, ``broadcast`` /
+    ``df`` force a tier)."""
+    if filter_ext_ids is None:
+        return None, None
+    if not isinstance(filter_ext_ids, DataFrame):
+        return _sorted_ids(filter_ext_ids), None
+    fdf = filter_ext_ids.select(
+        F.col(filter_ext_ids.columns[0]).cast("long").alias("ext_id")
+    )
+    if filter_mode == "df":
+        return None, _filter_blobs(spark, cat, fdf)
+    head = (
+        fdf.limit(FILTER_BROADCAST_MAX + 1).collect()
+        if filter_mode == "auto"
+        else fdf.collect()
+    )
+    if len(head) > FILTER_BROADCAST_MAX:
+        return None, _filter_blobs(spark, cat, fdf)
+    return np.sort(np.array([r[0] for r in head], dtype=np.int64)), None
+
+
+def _blob_allowed(frame: pd.DataFrame, row) -> np.ndarray | None:
+    """Per-segment allowed ids from the joined blob column (if the blob
+    tier is active for this query), else None."""
+    if "allowed" not in frame.columns:
+        return None
+    blob = row["allowed"] if isinstance(row, pd.Series) else row.allowed
+    return None if blob is None else np.frombuffer(blob, np.int64)
 
 
 def _member_mask(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
@@ -415,10 +527,15 @@ def ann_topk(
     cfg: IndexConfig | None = None,
     mode: str = "auto",
     nprobe: int | None = None,
-    filter_ext_ids: set[int] | None = None,
+    filter_ext_ids=None,
     probe_mode: str = "auto",
+    filter_mode: str = "auto",
 ) -> DataFrame:
     """Top-k nearest vectors → DataFrame(ext_id, score), score desc.
+
+    ``filter_ext_ids`` accepts a set / array (closure fast path) or a
+    DataFrame of ids — large DataFrame filters resolve to per-segment
+    packed blobs executor-side (``_resolve_filter``), never a driver set.
 
     ``mode``: ``exact`` (brute force, S4), ``ivf`` (coarse probe, S3), or
     ``auto`` (S1 routing: IVF when available and k ≤ max_k_ann).
@@ -464,13 +581,15 @@ def ann_topk(
         # Exact mode scores raw flat vectors, which support any metric.
         _validate_metric(cat, metric)
     eff_k = k
-    allowed = _sorted_ids(filter_ext_ids)
+    allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
     tomb = _ann_tombstones(spark, cat)
     if allowed is not None:
         eff_k = min(k + cfg.overfetch, allowed.size)  # S2 widening
+    elif fblobs is not None:
+        eff_k = k + cfg.overfetch  # blob tier: widen without a global count
 
-    def _apply_filter(ids: np.ndarray, s: np.ndarray):
-        m = _accept_mask(ids, allowed, tomb)
+    def _apply_filter(ids: np.ndarray, s: np.ndarray, row_allowed=None):
+        m = _accept_mask(ids, allowed if allowed is not None else row_allowed, tomb)
         if m is None:
             return ids, s
         return ids[m], s[m]
@@ -481,7 +600,9 @@ def ann_topk(
             for r in pdf.itertuples():
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
                 ids = np.frombuffer(r.ext_ids, np.int64)
-                ids, s = _apply_filter(ids, _scores(x, q, metric))
+                ids, s = _apply_filter(
+                    ids, _scores(x, q, metric), _blob_allowed(pdf, r)
+                )
                 if ids.size == 0:
                     continue
                 top = np.argsort(-s, kind="stable")[:eff_k]
@@ -577,7 +698,9 @@ def ann_topk(
                 for r in pdf.itertuples():
                     x = np.frombuffer(r.vectors, np.float32).reshape(r.n, dim)
                     ids = np.frombuffer(r.ext_ids, np.int64)
-                    ids, s = _apply_filter(ids, _scores(x, q, metric))
+                    ids, s = _apply_filter(
+                        ids, _scores(x, q, metric), _blob_allowed(pdf, r)
+                    )
                     if ids.size == 0:
                         continue
                     top = np.argsort(-s, kind="stable")[:eff_k]
@@ -585,12 +708,18 @@ def ann_topk(
                         {"segment_id": r.segment_id, "ext_id": ids[top], "score": s[top]}
                     )
 
+        if fblobs is not None:
+            # blob tier: the allowed set rides the list rows (inner join —
+            # segments with zero allowed ids are pruned before scoring)
+            sel = sel.join(fblobs, "segment_id")
         partials = sel.mapInPandas(score_lists, TOPK_SCHEMA)
         # B2 degradation ladder: segments with no IVF index are brute-forced
         bf_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
             "bf_fallback_segments"
         )
         flat = cat.read(spark, "ann_flat")
+        if fblobs is not None:
+            flat = flat.join(fblobs, "segment_id")
         if bf_segs is None:
             # pre-v2 index without the manifest list: derive it with an anti-join
             ivf_seg_df = ivf.filter(F.col("list_id") == -1).select("segment_id")
@@ -600,7 +729,10 @@ def ann_topk(
             missing = flat.filter(F.col("segment_id").isin(list(bf_segs)))
             partials = partials.unionByName(missing.mapInPandas(scan, TOPK_SCHEMA))
     else:
-        partials = cat.read(spark, "ann_flat").mapInPandas(scan, TOPK_SCHEMA)
+        flat = cat.read(spark, "ann_flat")
+        if fblobs is not None:
+            flat = flat.join(fblobs, "segment_id")
+        partials = flat.mapInPandas(scan, TOPK_SCHEMA)
 
     return (
         partials.orderBy(F.desc("score"), F.asc("ext_id"))
@@ -698,6 +830,7 @@ def ann_topk_sq(
     rerank_factor: int = 3,
     filter_ext_ids=None,
     visited_limit: int | None = None,
+    filter_mode: str = "auto",
 ) -> DataFrame:
     """Scalar-quantized search path (B10/B11 read side, mirroring
     ``LuceneAcceleratedHNSWScalarQuantizedVectorsWriter.java:149-159`` /
@@ -725,7 +858,7 @@ def ann_topk_sq(
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")
     m_coarse = k * max(1, rerank_factor)
-    allowed = _sorted_ids(filter_ext_ids)
+    allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
     tomb = _ann_tombstones(spark, cat)
     budget = None if visited_limit is None else max(1, int(visited_limit))
 
@@ -749,7 +882,11 @@ def ann_topk_sq(
         fr = fp.iloc[0]
         x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
-        mask = _accept_mask(ids, allowed, tomb)
+        mask = _accept_mask(
+            ids,
+            allowed if allowed is not None else _blob_allowed(fp, fr),
+            tomb,
+        )
         ok = np.arange(n) if mask is None else np.flatnonzero(mask)
         if budget is not None:
             # visitedLimit contract (GPUPerLeafCuVSKnnCollector.java:26-38):
@@ -765,10 +902,13 @@ def ann_topk_sq(
             {"segment_id": int(r["segment_id"]), "ext_id": ids[cand][top], "score": s[top]}
         )
 
+    flat = cat.read(spark, "ann_flat")
+    if fblobs is not None:
+        flat = flat.join(fblobs, "segment_id")  # blob tier rides the flat side
     partials = (
         cat.read(spark, "ann_sq")
         .groupby("segment_id")
-        .cogroup(cat.read(spark, "ann_flat").groupby("segment_id"))
+        .cogroup(flat.groupby("segment_id"))
         .applyInPandas(scan, TOPK_SCHEMA)
     )
     return (
@@ -787,6 +927,7 @@ def ann_topk_bq(
     filter_ext_ids=None,
     rerank_factor: int | None = None,
     visited_limit: int | None = None,
+    filter_mode: str = "auto",
 ) -> DataFrame:
     """Top-k over binary-quantized codes by Hamming distance (the
     coarse/compressed search path of the BQ format). Approximate —
@@ -812,7 +953,9 @@ def ann_topk_bq(
     bq = cat.read(spark, "ann_bq")
     flat_cols = ["segment_id", "n_vecs", "ext_ids"] + (["vectors"] if rerank else [])
     flat = cat.read(spark, "ann_flat").select(*flat_cols)
-    allowed = _sorted_ids(filter_ext_ids)
+    allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
+    if fblobs is not None:
+        flat = flat.join(fblobs, "segment_id")  # blob tier rides the flat side
     tomb = _ann_tombstones(spark, cat)
     budget = None if visited_limit is None else max(1, int(visited_limit))
     from pyspark.sql import functions as F2
@@ -845,7 +988,9 @@ def ann_topk_bq(
         # query bits in the same (navigation) space the codes were built in
         qbits = np.packbits(_nav_query(q, metric).astype(np.float64) > centroid)
         ham = np.unpackbits(codes ^ qbits[None, :], axis=1).sum(1)
-        mask = _accept_mask(ids, allowed, tomb)
+        mask = _accept_mask(
+            ids, allowed if allowed is not None else _blob_allowed(fp, fr), tomb
+        )
         idx = np.arange(ids.size)
         if mask is not None:
             idx = idx[mask]
@@ -963,6 +1108,7 @@ def ann_topk_pq(
     rerank_factor: int = 3,
     filter_ext_ids=None,
     visited_limit: int | None = None,
+    filter_mode: str = "auto",
 ) -> DataFrame:
     """PQ ADC search: per segment, build the (pq_dim × 2^bits) query LUT,
     score all codes with one fancy-index sum, take the coarse top
@@ -980,7 +1126,7 @@ def ann_topk_pq(
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")
     m_coarse = k * max(1, rerank_factor)
-    allowed = _sorted_ids(filter_ext_ids)
+    allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
     tomb = _ann_tombstones(spark, cat)
     budget = None if visited_limit is None else max(1, int(visited_limit))
 
@@ -1006,7 +1152,9 @@ def ann_topk_pq(
         fr = fp.iloc[0]
         x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
-        mask = _accept_mask(ids, allowed, tomb)
+        mask = _accept_mask(
+            ids, allowed if allowed is not None else _blob_allowed(fp, fr), tomb
+        )
         ok = np.arange(n) if mask is None else np.flatnonzero(mask)
         if budget is not None:
             ok = ok[:budget]  # visitedLimit: cap vectors scored per leaf
@@ -1019,10 +1167,13 @@ def ann_topk_pq(
             {"segment_id": int(r["segment_id"]), "ext_id": ids[cand][top], "score": s[top]}
         )
 
+    flat = cat.read(spark, "ann_flat")
+    if fblobs is not None:
+        flat = flat.join(fblobs, "segment_id")  # blob tier rides the flat side
     partials = (
         cat.read(spark, "ann_pq")
         .groupby("segment_id")
-        .cogroup(cat.read(spark, "ann_flat").groupby("segment_id"))
+        .cogroup(flat.groupby("segment_id"))
         .applyInPandas(scan, TOPK_SCHEMA)
     )
     return (

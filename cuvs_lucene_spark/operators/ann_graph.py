@@ -316,6 +316,7 @@ def ann_topk_graph(
     ef: int | None = None,
     filter_ext_ids=None,
     visited_limit: int | None = None,
+    filter_mode: str = "auto",
 ) -> DataFrame:
     """Graph top-k under the index's build metric (l2 or cosine):
     per-segment greedy beam → global top-k.
@@ -335,10 +336,11 @@ def ann_topk_graph(
     from cuvs_lucene_spark.operators.ann import (
         _accept_mask,
         _ann_tombstones,
+        _blob_allowed,
         _nav_query,
         _nav_vectors,
+        _resolve_filter,
         _scores,
-        _sorted_ids,
     )
 
     metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
@@ -347,7 +349,7 @@ def ann_topk_graph(
     if k <= 0:
         return spark.createDataFrame([], "ext_id long, score double")
     eff = ef or max(k + cfg.overfetch, 64)
-    allowed = _sorted_ids(filter_ext_ids)
+    allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
     tomb = _ann_tombstones(spark, cat)
 
     def scan(key, gp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
@@ -365,7 +367,9 @@ def ann_topk_graph(
         # were built there); identical to raw for l2
         x = _nav_vectors(x_raw, metric)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
-        accept = _accept_mask(ids, allowed, tomb)
+        accept = _accept_mask(
+            ids, allowed if allowed is not None else _blob_allowed(fp, fr), tomb
+        )
         seg = int(fr["segment_id"])
         if gp.empty:
             # B2 fallback: no graph row (segment above the NN_DESCENT
@@ -431,10 +435,13 @@ def ann_topk_graph(
             }
         )
 
+    flat = cat.read(spark, "ann_flat")
+    if fblobs is not None:
+        flat = flat.join(fblobs, "segment_id")  # blob tier rides the flat side
     partials = (
         cat.read(spark, "ann_graph", merge_schema=True)
         .groupby("segment_id")
-        .cogroup(cat.read(spark, "ann_flat").groupby("segment_id"))
+        .cogroup(flat.groupby("segment_id"))
         .applyInPandas(scan, TOPK_SCHEMA)
     )
     return (

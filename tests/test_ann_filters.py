@@ -88,6 +88,38 @@ def test_filter_applies_to_every_mode(spark, acat, xdata):
     assert res["exact"] == _exact_ids(xdata, q, 5, subset=flt)
 
 
+def test_dataframe_filter_tier_equals_driver_set_every_mode(spark, acat, xdata):
+    """The large-filter tier: a filter arriving as a DataFrame and FORCED
+    through the per-segment packed-blob path (filter_mode='df' — no driver
+    set anywhere) must reproduce the closure-set result on EVERY format,
+    and the auto tier must pick the closure path for small filters."""
+    q = xdata[7]
+    flt = list(range(0, N, 2))
+    fdf = spark.createDataFrame([(i,) for i in flt], "ext_id long")
+    want = _all_modes(spark, acat, q, 5, flt=flt)
+    got = {
+        "exact": ann_topk(spark, acat, q, k=5, cfg=CFG, mode="exact",
+                          filter_ext_ids=fdf, filter_mode="df"),
+        "ivf": ann_topk(spark, acat, q, k=5, cfg=CFG, mode="ivf",
+                        filter_ext_ids=fdf, filter_mode="df"),
+        "sq": ann_topk_sq(spark, acat, q, k=5, cfg=CFG,
+                          filter_ext_ids=fdf, filter_mode="df"),
+        "pq": ann_topk_pq(spark, acat, q, k=5, cfg=CFG,
+                          filter_ext_ids=fdf, filter_mode="df"),
+        "bq": ann_topk_bq(spark, acat, q, k=5, cfg=CFG,
+                          filter_ext_ids=fdf, filter_mode="df"),
+        "graph": ann_topk_graph(spark, acat, q, k=5, cfg=CFG,
+                                filter_ext_ids=fdf, filter_mode="df"),
+    }
+    for mode, df in got.items():
+        ids = [r[0] for r in df.collect()]
+        assert ids == want[mode], f"{mode}: blob tier diverged from driver set"
+    # auto tier on a small DataFrame filter: same result (closure path)
+    auto = [r["ext_id"] for r in ann_topk(
+        spark, acat, q, k=5, cfg=CFG, mode="exact", filter_ext_ids=fdf).collect()]
+    assert auto == want["exact"]
+
+
 def test_deleted_never_returned_by_any_mode(spark, acat, xdata):
     """TestCuVSDeletedDocuments analogue: tombstone the TRUE top-3 of a
     query, then no mode may return any of them — on every format."""
