@@ -56,6 +56,12 @@ class AnnParams:
     min_ann_index_size: int = 2    # below this fall back to brute force (B2)
     kmeans_iters: int = 10
     seed: int = 42
+    # tombstone envelope: once registered deletes exceed this fraction of
+    # the indexed vectors, delete_ann auto-triggers a group-wise merge_ann
+    # of ONLY the affected segments — the driver-side tombstone set is
+    # thereby provably bounded by (fraction × corpus), the same role
+    # Lucene's deletesPctAllowed merge pressure plays for liveDocs
+    delete_merge_fraction: float = 0.25
 
 
 @dataclass(frozen=True)
@@ -131,6 +137,11 @@ class IndexConfig:
             raise ValueError(f"ann.metric={self.ann.metric!r} not in l2|cosine|dot")
         if self.ann.max_dims < 1:
             raise ValueError("ann.max_dims must be >= 1")
+        if not (0.0 < self.ann.delete_merge_fraction <= 1.0):
+            raise ValueError(
+                f"ann.delete_merge_fraction={self.ann.delete_merge_fraction} "
+                "out of range (0, 1]"
+            )
         if not (0.0 <= self.compact_dropped_fraction <= 1.0):
             raise ValueError(
                 f"compact_dropped_fraction={self.compact_dropped_fraction} "

@@ -207,6 +207,23 @@ def _ivf_rows(flat_df: DataFrame, ann: AnnParams, metric: str = "l2") -> DataFra
     return flat_df.mapInPandas(build_ivf, IVF_SCHEMA)
 
 
+def build_flat_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (segment_id, ext_id, vector) group → one packed flat-storage row
+    (the Utils.createFloatMatrix dense-matrix analogue) — shared by the
+    batch build and the group-wise ANN merge."""
+    pdf = pdf.sort_values("ext_id")
+    x = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
+    return pd.DataFrame(
+        {
+            "segment_id": [int(pdf["segment_id"].iloc[0])],
+            "n_vecs": [np.int32(x.shape[0])],
+            "dim": [np.int32(x.shape[1])],
+            "ext_ids": [pdf["ext_id"].to_numpy(np.int64).tobytes()],
+            "vectors": [x.tobytes()],
+        }
+    )
+
+
 def validate_vectors(df: DataFrame, vector_col: str, id_col: str, ann: AnnParams) -> None:
     """I1/I2 analogues: reject >max_dims and duplicate vectors per doc."""
     row = df.select(
@@ -257,20 +274,7 @@ def build_ann(
         F.col(vector_col).alias("vector"),
     ).withColumn("segment_id", (F.col("ext_id") / F.lit(rps)).cast("long"))
 
-    def build_flat(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ext_id")
-        x = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
-        return pd.DataFrame(
-            {
-                "segment_id": [int(pdf["segment_id"].iloc[0])],
-                "n_vecs": [np.int32(x.shape[0])],
-                "dim": [np.int32(x.shape[1])],
-                "ext_ids": [pdf["ext_id"].to_numpy(np.int64).tobytes()],
-                "vectors": [x.tobytes()],
-            }
-        )
-
-    flat = base.groupBy("segment_id").applyInPandas(build_flat, FLAT_SCHEMA)
+    flat = base.groupBy("segment_id").applyInPandas(build_flat_pdf, FLAT_SCHEMA)
     cat.write(flat, "ann_flat")
     cat.mark_stage("ann_flat")
 
@@ -460,12 +464,27 @@ def _accept_mask(
     return m
 
 
-def delete_ann(spark: SparkSession, cat: IndexCatalog, ext_ids) -> int:
+def delete_ann(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    ext_ids,
+    cfg: IndexConfig | None = None,
+    auto_merge: bool = True,
+) -> int:
     """Tombstone vectors by ext_id — the liveDocs analogue for the ANN
     sidecar. Deleted ids are excluded by EVERY search mode at query time
     (exact, IVF, SQ, PQ, BQ, graph, kNN join) and physically removed at the
     next :func:`merge_ann` (M5). Returns the live tombstone count; the
-    count rides the manifest so the no-deletes path costs zero jobs."""
+    count rides the manifest so the no-deletes path costs zero jobs.
+
+    Envelope policy: once the tombstone count exceeds
+    ``cfg.ann.delete_merge_fraction`` of the indexed vectors, a GROUP-WISE
+    :func:`merge_ann` of only the AFFECTED segments fires automatically
+    (resolved via the thin ``ann_ids`` map), physically dropping the
+    deleted rows and clearing their tombstones — so the query-time
+    tombstone set is provably bounded (Lucene's deletesPctAllowed merge
+    pressure, applied per-segment)."""
+    cfg = cfg or IndexConfig()
     new = spark.createDataFrame([(int(i),) for i in set(ext_ids)], "ext_id long")
     if cat.exists("ann_tombstones"):
         new = cat.read(spark, "ann_tombstones").unionByName(new).distinct()
@@ -473,6 +492,24 @@ def delete_ann(spark: SparkSession, cat: IndexCatalog, ext_ids) -> int:
     n = new.count()
     cat.write(new, "ann_tombstones", lineage={"n": n})
     new.unpersist()
+    if auto_merge and n:
+        total = cat.read(spark, "ann_flat").agg(
+            F.sum("n_vecs").alias("t")
+        ).collect()[0]["t"] or 0
+        if total and n > cfg.ann.delete_merge_fraction * total:
+            affected = sorted(
+                int(r["segment_id"])
+                for r in _ann_ids(spark, cat)
+                .join(cat.read(spark, "ann_tombstones"), "ext_id", "left_semi")
+                .select("segment_id").distinct().collect()
+            )
+            if affected:
+                fanin = cfg.merge_fanin
+                groups = [
+                    affected[i : i + fanin] for i in range(0, len(affected), fanin)
+                ]
+                merge_ann(spark, cat, cfg, groups=groups)
+                n = int(cat.table_lineage("ann_tombstones").get("n", 0))
     return n
 
 
@@ -1253,27 +1290,42 @@ def ann_topk_field(
     return ann_topk(spark, field_catalog(cat, field), query, **kwargs)
 
 
+ANN_MERGE_BASE = 1 << 42  # merged-ann segment namespace: base + (gen << 32)
+                          # + seq — disjoint from build ids (ext_id // rps)
+                          # and streaming epoch ids ([2^41, ~2^42)); ids are
+                          # never reused (merged-away segments drop logically)
+
+
 def merge_ann(
     spark: SparkSession,
     cat: IndexCatalog,
     cfg: IndexConfig | None = None,
     tombstone_ext_ids: set[int] | None = None,
     rows_per_segment: int | None = None,
-) -> None:
-    """Merge ANN segments: read the flat vector storage (never the derived
-    indexes — M4), drop tombstoned ids (M5), rebuild every derived
-    structure from the merged raw vectors — exactly the reference's
-    merge-as-rebuild (``vectorBasedMerge``, M2: flat-merge then full
-    rebuild via the flush path). The merged index keeps the configured
-    ``rows_per_segment`` — at scale the merge yields MANY segments, each
-    k-means'd independently in its own task, never one whole-corpus
-    single-task rebuild.
+    groups: list[list[int]] | None = None,
+) -> dict[int, list[int]]:
+    """GROUP-WISE incremental ANN merge: read ONLY the merging segments'
+    flat blobs (never the derived indexes — M4), drop tombstoned ids (M5),
+    rebuild the derived structures for the NEW segments only, and commit as
+    one tagged append + logical drop of the merged-away segment ids (the
+    segdata scheme of ``merge_segments``). Untouched segments are never
+    read or rewritten — merge cost ∝ merged segments, exactly the
+    reference's ``mergeOneField`` scope (``CuVS2510GPUVectorsWriter.java:
+    479-497``: MergedVectorValues spans just the MergeState's readers,
+    rebuild via the flush path = M2 merge-as-rebuild, per group).
+
+    ``groups``: lists of ANN segment ids to merge (one output id range per
+    group); default = ALL current segments in one group (forceMerge-style
+    full compaction, the previous behavior). Returns {gkey: [new ids]}.
 
     ``tombstone_ext_ids`` ADDS to the catalog's own ``ann_tombstones``
     table (registered by :func:`delete_ann`) — registered deletes always
-    apply, they are the liveDocs state ``MergedVectorValues`` skips; the
-    table is cleared after the rebuild since the deleted rows are now
-    physically gone (M5)."""
+    apply (the liveDocs state ``MergedVectorValues`` skips); tombstones
+    whose rows were physically dropped here are cleared, tombstones in
+    untouched segments remain (M5, per-segment liveDocs envelope).
+
+    A dropped-fraction compaction trigger (``cfg.compact_dropped_fraction``)
+    rewrites the ann tables once logically-dropped rows dominate."""
     import dataclasses
 
     cfg = cfg or IndexConfig()
@@ -1286,48 +1338,223 @@ def merge_ann(
         cfg = dataclasses.replace(
             cfg, ann=dataclasses.replace(cfg.ann, metric=built)
         )
-    reg = _ann_tombstones(spark, cat)
-    extra = (
-        np.array(sorted(tombstone_ext_ids), dtype=np.int64)
-        if tombstone_ext_ids
-        else None
+    metric = cfg.ann.metric
+    rps = rows_per_segment or cfg.rows_per_segment
+    if tombstone_ext_ids:
+        # registered + explicit UNION; auto_merge off — we ARE the merge
+        delete_ann(spark, cat, tombstone_ext_ids, cfg, auto_merge=False)
+    tomb = _ann_tombstones(spark, cat)
+
+    # segment-level metadata (∝ segment count, same scale budget as the
+    # text merge's segment_stats collect — never the blobs)
+    meta = cat.read(spark, "ann_flat").select("segment_id", "n_vecs").collect()
+    nvecs_of = {int(r["segment_id"]): int(r["n_vecs"]) for r in meta}
+    if groups is None:
+        groups = [sorted(nvecs_of)]
+    groups = [
+        [int(s) for s in g if int(s) in nvecs_of] for g in groups
+    ]
+    groups = [g for g in groups if g]
+    if not groups:
+        return {}
+    gkey_of = {s: gi for gi, g in enumerate(groups) for s in g}
+    merged_segs = sorted(gkey_of)
+    gmap = spark.createDataFrame(
+        [(int(s), int(gi)) for s, gi in gkey_of.items()], "segment_id long, gkey long"
     )
-    parts = [a for a in (reg, extra) if a is not None and a.size]
-    tomb = np.unique(np.concatenate(parts)) if parts else None
 
     def explode_flat(it):
-        # distributed un-packing of the flat blobs back into rows — the
+        # distributed un-packing of the merging segments' flat blobs — the
         # MergedVectorValues concatenation, delete-filtered (M2/M5)
         for pdf in it:
             for r in pdf.itertuples():
                 ids = np.frombuffer(r.ext_ids, np.int64)
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
                 if tomb is not None and tomb.size:
-                    keep = ~np.isin(ids, tomb)
+                    keep = ~_member_mask(ids, tomb)
                     ids, x = ids[keep], x[keep]
-                yield pd.DataFrame({"ext_id": ids, "vector": list(map(list, x))})
+                if ids.size == 0:
+                    continue  # fully-deleted segment: nothing to carry over
+                yield pd.DataFrame(
+                    {"gkey": int(r.gkey), "ext_id": ids, "vector": list(map(list, x))}
+                )
 
-    merged = cat.read(spark, "ann_flat").mapInPandas(
-        explode_flat, "ext_id long, vector array<float>"
+    # pushed isin prunes untouched segments at the parquet scan; the
+    # broadcast join only attaches the gkey
+    rows = (
+        cat.read(spark, "ann_flat")
+        .filter(F.col("segment_id").isin(merged_segs))
+        .join(F.broadcast(gmap), "segment_id")
+        .mapInPandas(explode_flat, "gkey long, ext_id long, vector array<float>")
     )
-    build_ann(
-        spark, merged, cat.root, cfg, id_col="ext_id", vector_col="vector",
-        rows_per_segment=rows_per_segment or cfg.rows_per_segment,
+    # new doc order: ext_id asc per group (the frozen index sort), dense
+    # ids via the range-partitioned rank — no single-partition window
+    from cuvs_lucene_spark.operators.segments import grouped_dense_rank
+
+    ranked, release = grouped_dense_rank(rows, ["gkey"], ["ext_id"], "rk")
+    counts = {
+        int(r["gkey"]): int(r["c"])
+        for r in ranked.groupBy("gkey").agg(F.max("rk").alias("m"))
+        .select("gkey", (F.col("m") + 1).alias("c")).collect()
+    }
+    flat_ent = cat.read_manifest()["tables"].get("ann_flat", {})
+    gen = int(flat_ent.get("ann_merge_gen", 0)) + 1
+    gen_base = ANN_MERGE_BASE + (gen << 32)
+    base_of: dict[int, int] = {}
+    new_ids: dict[int, list[int]] = {}
+    seq = 0
+    for gi in range(len(groups)):
+        c = counts.get(gi, 0)
+        n_chunks = -(-c // rps) if c else 0
+        base_of[gi] = gen_base + seq
+        new_ids[gi] = [gen_base + seq + j for j in range(n_chunks)]
+        seq += n_chunks
+    base_df = spark.createDataFrame(
+        [(int(g), int(b)) for g, b in base_of.items()], "gkey long, seg_base long"
     )
-    # every derived structure must follow the rebuild — a stale graph/PQ
-    # table would cogroup against the new flat segments and silently miss
+    assigned = ranked.join(F.broadcast(base_df), "gkey").select(
+        (F.col("seg_base") + F.floor(F.col("rk") / F.lit(rps))).cast("long")
+        .alias("segment_id"),
+        "ext_id",
+        "vector",
+    )
+    new_flat = assigned.groupBy("segment_id").applyInPandas(
+        build_flat_pdf, FLAT_SCHEMA
+    )
+
+    def _dropped_for(table: str) -> list[int]:
+        prev = set(
+            cat.read_manifest()["tables"].get(table, {}).get("dropped_segments", [])
+        )
+        return sorted(prev | set(merged_segs))
+
+    tag = f"ann_merge_gen_{gen}"
+    dropped_vecs = int(flat_ent.get("dropped_vecs", 0)) + sum(
+        nvecs_of[s] for s in merged_segs
+    )
+    cat.append(
+        new_flat,
+        "ann_flat",
+        tag=tag,
+        extra_entry={
+            "dropped_segments": _dropped_for("ann_flat"),
+            "dropped_vecs": dropped_vecs,
+            "ann_merge_gen": gen,
+        },
+    )
+    if cat.exists("ann_ids"):
+        cat.append(
+            assigned.select("segment_id", "ext_id"),
+            "ann_ids",
+            tag=tag,
+            extra_entry={"dropped_segments": _dropped_for("ann_ids")},
+        )
+    else:
+        _ann_ids(spark, cat)  # pre-v3 self-heal: derive from post-merge flat
+    release()
+
+    # derived structures for the NEW segments only (read back from the
+    # committed flat — M4 discipline; the gen range filter is a pushed
+    # parquet predicate, untouched segments' blobs are never read)
+    new_flat_df = cat.read(spark, "ann_flat").filter(
+        (F.col("segment_id") >= gen_base)
+        & (F.col("segment_id") < ANN_MERGE_BASE + ((gen + 1) << 32))
+    )
+    for table, df in (
+        ("ann_sq", _sq_rows(new_flat_df, metric)),
+        ("ann_bq", _bq_rows(new_flat_df, metric)),
+        ("ann_ivf", _ivf_rows(new_flat_df, cfg.ann, metric)),
+    ):
+        cat.append(
+            df, table, tag=tag,
+            extra_entry={"dropped_segments": _dropped_for(table)},
+        )
     if cat.exists("ann_graph"):
-        from cuvs_lucene_spark.operators.ann_graph import build_ann_graph
+        from cuvs_lucene_spark.operators.ann_graph import _graph_rows
 
-        build_ann_graph(spark, cat, cfg)
+        cat.append(
+            _graph_rows(new_flat_df, cfg, metric=metric), "ann_graph", tag=tag,
+            extra_entry={"dropped_segments": _dropped_for("ann_graph")},
+        )
     if cat.exists("ann_pq"):
-        build_ann_pq(spark, cat, cfg)
+        cat.append(
+            _pq_rows(new_flat_df, cfg, metric), "ann_pq", tag=tag,
+            extra_entry={"dropped_segments": _dropped_for("ann_pq")},
+        )
+
+    # B2 fallback bookkeeping: recompute from post-merge metadata (both
+    # collects are segment-count-sized manifest upkeep, like streaming's)
+    flat_segs = {
+        int(r["segment_id"])
+        for r in cat.read(spark, "ann_flat").select("segment_id").collect()
+    }
+    ivf_segs = {
+        int(r["segment_id"])
+        for r in cat.read(spark, "ann_ivf")
+        .filter(F.col("list_id") == -1).select("segment_id").distinct().collect()
+    }
+    prev_stage = cat.read_manifest()["stages"].get("ann_ivf", {})
+    carried = {k: v for k, v in prev_stage.items() if k not in ("status", "at")}
+    carried["bf_fallback_segments"] = sorted(flat_segs - ivf_segs)
+    carried["n_ivf_segments"] = len(ivf_segs)
+    cat.mark_stage("ann_ivf", **carried)
+
+    # tombstones whose rows were physically dropped here clear out; those
+    # referencing untouched segments stay live (per-segment liveDocs)
     if tomb is not None and cat.exists("ann_tombstones"):
-        # tombstoned rows are physically gone — clear the set (M5)
+        live_ids = _ann_ids(spark, cat)
+        remaining = (
+            cat.read(spark, "ann_tombstones")
+            .join(live_ids, "ext_id", "left_semi")
+            .cache()
+        )
+        n_rem = remaining.count()
+        cat.write(remaining, "ann_tombstones", lineage={"n": n_rem})
+        remaining.unpersist()
+
+    if rps != cat.read_manifest().get("config", {}).get("rows_per_segment"):
+        cat.set_config(
+            {**cat.read_manifest().get("config", {}), "rows_per_segment": rps}
+        )
+
+    # auto-compaction: once logically-dropped rows dominate the physical
+    # tables, every read scans mostly dead data — rewrite to one compact
+    # snapshot (Lucene file deletion / Iceberg rewrite_data_files)
+    live_total = sum(
+        n for s, n in nvecs_of.items() if s not in gkey_of
+    ) + sum(counts.values())
+    if dropped_vecs > cfg.compact_dropped_fraction * (dropped_vecs + live_total):
+        compact_ann(spark, cat)
+    cat.mark_stage(
+        f"merge_ann_gen_{gen}",
+        lineage={
+            str(gi): {"merged_from": groups[gi], "new_segments": new_ids[gi]}
+            for gi in range(len(groups))
+        },
+    )
+    return new_ids
+
+
+def compact_ann(spark: SparkSession, cat: IndexCatalog) -> None:
+    """Compaction: materialize each ANN table's current logical state
+    (appends folded in, dropped segments physically removed) into one
+    fresh snapshot — reclaims merged-away bytes and resets the drop lists,
+    like Iceberg's rewrite_data_files / Lucene's eventual file deletion.
+    The merge generation stays monotone so later merges never mint an id a
+    still-live earlier-generation segment holds."""
+    gen = int(
+        cat.read_manifest()["tables"].get("ann_flat", {}).get("ann_merge_gen", 0)
+    )
+    for table in ("ann_flat", "ann_ids", "ann_sq", "ann_bq", "ann_ivf",
+                  "ann_graph", "ann_pq"):
+        if not cat.exists(table):
+            continue
+        extra = {"ann_merge_gen": gen} if table == "ann_flat" else None
         cat.write(
-            spark.createDataFrame([], "ext_id long"),
-            "ann_tombstones",
-            lineage={"n": 0},
+            # merge_schema: pre-upgrade graph snapshots may lack layer/stride
+            cat.read(spark, table, merge_schema=(table == "ann_graph")),
+            table,
+            sort_within_partitions=["segment_id"], extra_entry=extra,
         )
 
 

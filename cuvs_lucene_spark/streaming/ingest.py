@@ -112,9 +112,6 @@ def incremental_add_vectors(
     replaces, committed epochs skip). Per-segment structures are
     independent, so appended segments need no rebuild of earlier ones;
     ``merge_ann`` later compacts, exactly like text segments."""
-    import numpy as np
-    import pandas as pd
-
     from cuvs_lucene_spark.operators.ann import (
         ANN_FORMAT_VERSION,
         BQ_SCHEMA,
@@ -124,6 +121,7 @@ def incremental_add_vectors(
         _bq_rows,
         _ivf_rows,
         _sq_rows,
+        build_flat_pdf,
         validate_vectors,
     )
 
@@ -160,22 +158,10 @@ def incremental_add_vectors(
         ),
     )
 
-    def build_flat(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ext_id")
-        x = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
-        return pd.DataFrame(
-            {
-                "segment_id": [int(pdf["segment_id"].iloc[0])],
-                "n_vecs": [np.int32(x.shape[0])],
-                "dim": [np.int32(x.shape[1])],
-                "ext_ids": [pdf["ext_id"].to_numpy(np.int64).tobytes()],
-                "vectors": [x.tobytes()],
-            }
-        )
-
-    flat = base.groupBy("segment_id").applyInPandas(build_flat, FLAT_SCHEMA).cache()
+    flat = base.groupBy("segment_id").applyInPandas(build_flat_pdf, FLAT_SCHEMA).cache()
     for table, schema in (
         ("ann_flat", FLAT_SCHEMA),
+        ("ann_ids", "segment_id long, ext_id long"),
         ("ann_sq", SQ_SCHEMA),
         ("ann_bq", BQ_SCHEMA),
         ("ann_ivf", IVF_SCHEMA),
@@ -187,6 +173,10 @@ def incremental_add_vectors(
     # batch build), never the per-call cfg — similarity is index state
     metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
     cat.append(flat, "ann_flat", tag=tag)
+    # the DataFrame-filter tier's row-level map follows every flat append —
+    # a stale ann_ids would silently prune the new segments from filtered
+    # queries (its blob join is an inner join)
+    cat.append(base.select("segment_id", "ext_id"), "ann_ids", tag=tag)
     cat.append(_sq_rows(flat, metric), "ann_sq", tag=tag)
     cat.append(_bq_rows(flat, metric), "ann_bq", tag=tag)
     cat.append(_ivf_rows(flat, cfg.ann, metric), "ann_ivf", tag=tag)
