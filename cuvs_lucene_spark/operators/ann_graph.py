@@ -67,7 +67,12 @@ def _encode_adjacency(nbrs: list[np.ndarray]) -> tuple[bytes, bytes]:
     return offs.tobytes(), b"".join(blobs)
 
 
-def _knn_graph(x: np.ndarray, degree: int) -> list[np.ndarray]:
+EXACT_KNN_MAX = 4096  # segments up to this size build the exact kNN graph;
+                      # larger ones use NN-descent (the reference's own
+                      # default build algo) — O(n²) vs ~O(n·G²·iters)
+
+
+def _exact_knn_graph(x: np.ndarray, degree: int) -> list[np.ndarray]:
     """Exact kNN adjacency (neighbors of each node, self excluded),
     blocked so the distance matrix never exceeds ~64MB."""
     n = x.shape[0]
@@ -85,6 +90,169 @@ def _knn_graph(x: np.ndarray, degree: int) -> list[np.ndarray]:
     return out
 
 
+def _merge_topg(
+    B: np.ndarray, D: np.ndarray, candB: np.ndarray, candD: np.ndarray, g: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Rowwise merge of candidate edges into the adjacency: dedupe ids
+    keeping the best distance, then top-g by (distance, id) — fully stable
+    (two lexsorts), so the build is bit-deterministic. Returns the new
+    (B, D) and the number of changed edges (convergence signal)."""
+    allB = np.concatenate([B, candB], 1)
+    allD = np.concatenate([D, candD], 1)
+    o1 = np.lexsort((allD, allB), axis=1)
+    b1 = np.take_along_axis(allB, o1, 1)
+    d1 = np.take_along_axis(allD, o1, 1)
+    dup = np.zeros_like(b1, dtype=bool)
+    dup[:, 1:] = b1[:, 1:] == b1[:, :-1]
+    d1[dup] = np.inf
+    o2 = np.lexsort((b1, d1), axis=1)[:, :g]
+    newB = np.take_along_axis(b1, o2, 1)
+    newD = np.take_along_axis(d1, o2, 1)
+    changed = int((np.sort(newB, 1) != np.sort(B, 1)).sum())
+    return newB, newD, changed
+
+
+def _nn_descent_graph(
+    x: np.ndarray, degree: int, iters: int, seed: int
+) -> list[np.ndarray]:
+    """Deterministic approximate kNN-graph build for large segments — the
+    reference's NN_DESCENT role (``CagraIndexParamsFactory.java:149-167``,
+    ``GPUSearchParams.java:46-54`` nnDescentIters), restated in the shape
+    that is fast on CPU BLAS:
+
+    1. **RP-forest rounds**: each round draws seeded random hyperplanes,
+       recursively median-splits the segment into blocks of ≤ ``_RP_LEAF``
+       nodes, and computes EXACT block-local top-g neighbors with one
+       dense GEMM per block (never an n×n matrix). Different rounds use
+       different projections, so candidate edges accumulate across
+       co-location patterns (the RP-tree init of nn-descent literature).
+    2. **NN-descent refinement rounds**: every node proposes sampled
+       neighbors-of-neighbors + a sample of its REVERSE neighbors;
+       distances via blocked gathers; merge keeps the best g by
+       (distance, id). Stops early when <0.1% of edges change.
+
+    Fully seeded and tie-stable → a rebuild is bit-identical (the
+    determinism contract the golden-set serialization test pins)."""
+    n = x.shape[0]
+    g = min(degree, n - 1)
+    dim = x.shape[1]
+    rng = np.random.default_rng(seed)
+    xf = np.ascontiguousarray(x, dtype=np.float32)
+    x64 = xf.astype(np.float64)
+    # candidate RANKING runs in float32 GEMM (2× the throughput; the graph
+    # is approximate by contract and search rescores exactly) — still
+    # bit-deterministic: identical arithmetic on every rebuild
+    sqf = np.einsum("nd,nd->n", xf, xf)
+    sq = (x64**2).sum(1)
+    arange_n = np.arange(n, dtype=np.int64)
+
+    B = np.broadcast_to(arange_n[:, None], (n, g)).copy()  # self = placeholder
+    D = np.full((n, g), np.inf)
+
+    # ---- RP-forest rounds -------------------------------------------------
+    for _ in range(_RP_ROUNDS):
+        blocks = [arange_n]
+        while max(b.size for b in blocks) > _RP_LEAF:
+            nxt = []
+            for idx in blocks:
+                if idx.size <= _RP_LEAF:
+                    nxt.append(idx)
+                    continue
+                proj = x64[idx] @ rng.normal(size=dim)
+                o = np.argsort(proj, kind="stable")
+                half = idx.size // 2
+                nxt.append(idx[o[:half]])
+                nxt.append(idx[o[half:]])
+            blocks = nxt
+        candB = np.broadcast_to(arange_n[:, None], (n, g)).copy()
+        candD = np.full((n, g), np.inf)
+        for idx in blocks:
+            m = idx.size
+            gb = min(g, m - 1)
+            if gb < 1:
+                continue
+            xb = xf[idx]
+            d2 = (sqf[idx, None] - 2.0 * (xb @ xb.T) + sqf[None, idx]).astype(
+                np.float64
+            )
+            np.fill_diagonal(d2, np.inf)
+            top = np.argpartition(d2, gb - 1, axis=1)[:, :gb]
+            candB[idx, :gb] = idx[top]
+            candD[idx, :gb] = np.take_along_axis(d2, top, 1)
+        B, D, _c = _merge_topg(B, D, candB, candD, g)
+
+    # ---- NN-descent refinement rounds ------------------------------------
+    def cand_dist(cand: np.ndarray) -> np.ndarray:
+        # d²(i, cand[i, m]) via blocked float32 gathers (~40MB per block)
+        m = cand.shape[1]
+        out = np.empty(cand.shape, np.float64)
+        block = max(1, int(4e7 // max(m * dim * 4, 1)))
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            xc = xf[cand[lo:hi]]  # (b, m, dim)
+            dots = np.einsum("bd,bmd->bm", xf[lo:hi], xc)
+            out[lo:hi] = (
+                sqf[lo:hi, None] - 2.0 * dots + sqf[cand[lo:hi]]
+            ).astype(np.float64)
+        return out
+
+    K = min(8, g)  # per-round sample width (forward / nn-of-nn / reverse)
+    # the RP rounds already provide a strong init, so a few descent rounds
+    # capture most of the remaining gain (the 20k study in BENCH.md:
+    # recall 0.51 → 0.61 in 2 rounds → 0.70 by convergence); cap the
+    # gather-bound rounds so build time stays GEMM-dominated
+    for _ in range(min(max(0, iters), _NND_MAX_REFINE)):
+        samp = B[:, :K]  # current-best K plus K random neighbors
+        if g > K:
+            rcols = rng.integers(0, g, size=(n, K))
+            samp = np.concatenate([samp, np.take_along_axis(B, rcols, 1)], 1)
+        s = samp.shape[1]
+        # sampled neighbors-of-neighbors, gathered flat (never (n, s, g))
+        k2cols = rng.integers(0, g, size=(n * s, K))
+        nn = B[samp.ravel()[:, None], k2cols].reshape(n, s * K)
+        # reverse sample: up to K nodes that currently list i as neighbor
+        src = np.repeat(arange_n, g)
+        dst = B.ravel()
+        order = np.lexsort((src, dst))
+        dsts, srcs = dst[order], src[order]
+        starts = np.searchsorted(dsts, arange_n)
+        ends = np.searchsorted(dsts, arange_n + 1)
+        take = np.minimum(ends - starts, K)
+        rev = np.broadcast_to(arange_n[:, None], (n, K)).copy()  # pad = self
+        pos = starts[:, None] + np.arange(K)[None, :]
+        valid = np.arange(K)[None, :] < take[:, None]
+        rev[valid] = srcs[pos[valid]]
+        cand = np.concatenate([nn, rev], 1)
+        # self/placeholder candidates would enter at distance 0 — redirect
+        # to an existing neighbor (a dup, removed by the merge's dedupe)
+        self_m = cand == arange_n[:, None]
+        cand[self_m] = np.broadcast_to(B[:, :1], cand.shape)[self_m]
+        B, D, changed = _merge_topg(B, D, cand, cand_dist(cand), g)
+        if changed < max(1, int(0.01 * n * g)):
+            break
+    out = []
+    for i in range(n):
+        keep = np.isfinite(D[i]) & (B[i] != i)
+        out.append(np.unique(B[i][keep]))
+    return out
+
+
+_RP_ROUNDS = 8       # RP-forest candidate rounds (different seeded projections)
+_RP_LEAF = 1024      # exact-GEMM block size at the tree leaves
+_NND_MAX_REFINE = 3  # cap on gather-bound descent rounds after the RP init
+
+
+def _knn_graph(
+    x: np.ndarray, degree: int, iters: int = 20, seed: int = 42
+) -> list[np.ndarray]:
+    """kNN adjacency with the size-based algorithm switch: exact for small
+    segments (faster below the crossover, BENCH.md), RP-forest +
+    NN-descent refinement above."""
+    if x.shape[0] <= EXACT_KNN_MAX:
+        return _exact_knn_graph(x, degree)
+    return _nn_descent_graph(x, degree, iters, seed)
+
+
 def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None,
                 metric: str = "l2"):
     """Per-segment graph rows from flat blobs (shared by the batch build
@@ -98,6 +266,8 @@ def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None,
     deg = degree or cfg.ann.graph_degree
     lstride = cfg.ann.upper_layer_stride
     lmin = cfg.ann.upper_layers_min_nodes
+    nnd_iters = cfg.ann.nn_descent_iters
+    seed = cfg.ann.seed
 
     def build(it):
         from cuvs_lucene_spark.operators.ann import _nav_vectors
@@ -129,7 +299,7 @@ def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None,
                         }
                     )
                     continue
-                offs, blob = _encode_adjacency(_knn_graph(x, deg))
+                offs, blob = _encode_adjacency(_knn_graph(x, deg, nnd_iters, seed))
                 yield pd.DataFrame(
                     {
                         "segment_id": [r.segment_id],
@@ -151,7 +321,7 @@ def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None,
                         break
                     sub = x[sample]
                     offs, blob = _encode_adjacency(
-                        _knn_graph(sub, min(deg, sample.size - 1))
+                        _knn_graph(sub, min(deg, sample.size - 1), nnd_iters, seed)
                     )
                     yield pd.DataFrame(
                         {

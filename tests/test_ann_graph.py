@@ -172,3 +172,48 @@ def test_graph_single_vector_segment(spark, tmp_path):
 
 def test_graph_k0(spark, gcat):
     assert ann_topk_graph(spark, gcat, [0.0] * 64, k=0, cfg=CFG).count() == 0
+
+
+def test_nn_descent_build_for_large_segments(spark, tmp_path, monkeypatch):
+    """O1 approximate-build path: above EXACT_KNN_MAX the graph builds via
+    seeded RP-forest + NN-descent (the reference's NN_DESCENT default,
+    CagraIndexParamsFactory.java:149-167) — bit-deterministic across
+    rebuilds, and the beam search over it keeps high recall vs exact."""
+    import numpy as np
+
+    import cuvs_lucene_spark.operators.ann_graph as AG
+
+    rng = np.random.default_rng(55)
+    n, dim = 1500, 16
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    # drop the switch so this segment takes the approximate path
+    monkeypatch.setattr(AG, "EXACT_KNN_MAX", 500)
+    adj1 = AG._knn_graph(x, 24, iters=20, seed=42)
+    adj2 = AG._knn_graph(x, 24, iters=20, seed=42)
+    assert all(np.array_equal(a, b) for a, b in zip(adj1, adj2))  # determinism
+    assert all(a.size > 0 and i not in a for i, a in enumerate(adj1))  # no self
+    offs_b, blob = AG._encode_adjacency(adj1)
+    offs = np.frombuffer(offs_b, "<u8")
+    x64 = x.astype(np.float64)
+    sq = (x64**2).sum(1)
+    recs = []
+    for qi in range(20):
+        q = x[rng.integers(0, n)]
+        nodes, _d, _e = AG._beam_search(x, q, offs, blob, k=10, ef=64)
+        qd = sq - 2.0 * (x64 @ q.astype(np.float64)) + (q.astype(np.float64) ** 2).sum()
+        exact = set(np.argpartition(qd, 10)[:10])
+        recs.append(len(set(nodes) & exact) / 10)
+    assert float(np.mean(recs)) >= 0.8  # search recall over the approx graph
+    # end-to-end: the Spark build over a >EXACT_KNN_MAX segment still
+    # answers (containment vs widened exact via the engine's own path)
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    cat = build_ann(
+        spark, df, str(tmp_path / "nnd"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=n,
+    )
+    build_ann_graph(spark, cat, CFG)
+    got = [r["ext_id"] for r in
+           ann_topk_graph(spark, cat, x[7], k=5, cfg=CFG).collect()]
+    assert got[0] == 7 and len(got) == 5
