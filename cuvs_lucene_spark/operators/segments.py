@@ -483,6 +483,20 @@ def build_index(
             lineage=lineage,
             corpus_stats={"n_docs": n, "n_tokens": toks},
         )
+        # fold the first-query warmup into the build commit (exactly what
+        # merge_segments does at its commit): the executor norms broadcast
+        # is the only first-query-only cost left, so a cold first query
+        # runs the same single Spark job as a steady-state one
+        from cuvs_lucene_spark.operators.bm25 import (
+            NORMS_BROADCAST_MAX_DOCS,
+            _norms_broadcast,
+        )
+
+        if n <= NORMS_BROADCAST_MAX_DOCS:  # the query path's own gate
+            try:
+                _norms_broadcast(spark, cat)
+            except Exception:
+                pass  # warmup is an optimization, never a build failure
 
     cat.mark_stage("build", status="done")
     return cat
