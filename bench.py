@@ -182,6 +182,60 @@ def main():
         "vec_id AS q_id", "embedding AS q_vec"
     )
     timed("knn_join_ivf64", lambda: knn_join_ivf(spark, acat, qdf, k=5).count())
+    # the zero-driver-state probe (the 10^6-segment path): same join, probe
+    # ranking beside the pruned centroid scan
+    timed(
+        "knn_join_ivf64_dist",
+        lambda: knn_join_ivf(spark, acat, qdf, k=5, probe_mode="distributed").count(),
+    )
+    # DataFrame-filter tier: acceptDocs resolved executor-side from ann_ids
+    fdf = embs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ext_id")
+    )
+    timed(
+        "ann_filter_df",
+        lambda: ann_topk(
+            spark, acat, q0, k=10, cfg=cfg, mode="ivf",
+            filter_ext_ids=fdf, filter_mode="df",
+        ).collect(),
+    )
+    # group-wise incremental merge: 2 of 8 segments merged — cost must not
+    # scale with the 6 untouched segments (and stays under the compaction
+    # trigger, so this times the incremental path itself)
+    from cuvs_lucene_spark.operators.ann import merge_ann
+
+    n_embs = embs.count()
+    acat2 = timed(
+        "ann_build_8seg",
+        lambda: build_ann(
+            spark, embs, f"{tmp}/ann2", cfg, id_col="vec_id",
+            vector_col="embedding", rows_per_segment=max(32, n_embs // 8),
+        ),
+    )
+    ann_segs = sorted(
+        int(r["segment_id"])
+        for r in acat2.read(spark, "ann_flat").select("segment_id").collect()
+    )
+    timed(
+        "merge_ann_2segs",
+        lambda: merge_ann(spark, acat2, cfg, groups=[ann_segs[:2]]),
+    )
+    timed("ann_exact_after_merge", lambda: ann_topk(
+        spark, acat2, q0, k=10, cfg=cfg, mode="exact").collect())
+
+    # --- graph-build crossover probe (driver-side numpy; the per-segment
+    # build kernel): exact O(n²) vs RP-forest+NN-descent at 8k rows; the
+    # 100k study (46.6s vs ~250s exact, >5x) is pinned in BENCH.md ---
+    import numpy as _np
+
+    import cuvs_lucene_spark.operators.ann_graph as _AG
+
+    _gx = _np.random.default_rng(3).normal(size=(8_000, 64)).astype(_np.float32)
+    timed("graph_build_exact_8k", lambda: _AG._exact_knn_graph(_gx, 32))
+    timed(
+        "graph_build_nnd_8k",
+        lambda: _AG._nn_descent_graph(_gx, 32, 20, 42),
+    )
 
     # --- pipeline ops ---
     timed("minhash_lsh", lambda: minhash_lsh_candidates(docs, n_perm=8, bands=2).count())
