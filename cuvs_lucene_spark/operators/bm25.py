@@ -643,6 +643,47 @@ def _live_stats_and_df(
     return n, avgdl, {r["term"]: int(r["df"]) for r in rows}
 
 
+def warm_term_df_memo(
+    spark: SparkSession, cat: IndexCatalog, top_n: int = 10_000
+) -> None:
+    """Prefill the per-catalog term-df memo with the TOP-N hottest terms
+    (df desc, then term) from the global dictionary, so a first query for
+    a hot term pays zero df-lookup jobs — bounded driver memory (top_n
+    entries) at any corpus scale. Called from build/merge finalize; cold
+    terms still fall back to the per-term pruned lookup."""
+    m = cat.read_manifest()
+    if not m["tables"].get("terms_global", {}).get("snapshot"):
+        return
+    latest = max(
+        (e.get("committed_at", 0) for e in m["tables"].values()), default=0
+    )
+    rows = (
+        cat.read(spark, "terms_global")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_n)
+        .select("term", "df")
+        .collect()
+    )
+    cat._term_df_memo = {
+        "ver": latest, "df": {r["term"]: int(r["df"]) for r in rows}
+    }
+
+
+def warm_query_path(
+    spark: SparkSession, cat: IndexCatalog, cfg: IndexConfig | None = None
+) -> None:
+    """Run one real top-1 query for the hottest known term — spins up the
+    executor Python-UDF workers and the whole-stage codegen for the scorer
+    path, so the FIRST user query after a build/merge commit pays
+    steady-state latency (the service-warmup request, folded into the
+    commit)."""
+    memo = getattr(cat, "_term_df_memo", None)
+    if not memo or not memo.get("df"):
+        return
+    hot = max(memo["df"].items(), key=lambda kv: (kv[1], kv[0]))[0]
+    bm25_topk(spark, cat, [hot], k=1, cfg=cfg).collect()
+
+
 def bm25_topk(
     spark: SparkSession,
     cat: IndexCatalog,

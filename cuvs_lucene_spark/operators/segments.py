@@ -490,13 +490,17 @@ def build_index(
         from cuvs_lucene_spark.operators.bm25 import (
             NORMS_BROADCAST_MAX_DOCS,
             _norms_broadcast,
+            warm_query_path,
+            warm_term_df_memo,
         )
 
-        if n <= NORMS_BROADCAST_MAX_DOCS:  # the query path's own gate
-            try:
+        try:
+            warm_term_df_memo(spark, cat)  # hot-term df cache (bounded)
+            if n <= NORMS_BROADCAST_MAX_DOCS:  # the query path's own gate
                 _norms_broadcast(spark, cat)
-            except Exception:
-                pass  # warmup is an optimization, never a build failure
+            warm_query_path(spark, cat, cfg)  # worker/codegen spin-up
+        except Exception:
+            pass  # warmup is an optimization, never a build failure
 
     cat.mark_stage("build", status="done")
     return cat
