@@ -453,6 +453,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["knn_join_ivf_cosine"] = _knn_join_ivf_cos_contained
+
+    # FILTERED batch inference: the join restricted to even vec_ids with
+    # the filter arriving as a DataFrame through the packed-blob tier —
+    # per-query containment vs the exact join over the filtered subset
+    def _knn_join_filtered_contained(s, d):
+        qdf = _embs(s, d).filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        eng = knn_join_ivf(
+            s, _ann_index(s, d), qdf, k=3,
+            filter_ext_ids=_even_df(s, d), filter_mode="df",
+        )
+        exact = knn_join(
+            qdf, _embs(s, d).filter(F.col("vec_id") % 2 == 0), k=9, metric="l2"
+        )
+        flagged = eng.select("q_id", "vec_id").join(
+            exact.select("q_id", "vec_id").withColumn("inx", F.lit(1)),
+            ["q_id", "vec_id"],
+            "left",
+        )
+        return flagged.groupBy("q_id").agg(
+            F.count("*").cast("long").alias("n_returned"),
+            F.count("inx").cast("long").alias("n_contained"),
+        )
+
+    q["knn_join_filtered"] = _knn_join_filtered_contained
     # binary-quantized hamming path — FULL oracle: the per-segment mean
     # centroid, sign bits, and hamming distance are all reproducible in SQL
     q["ann_bq_hamming"] = lambda s, d: __import__(
@@ -687,6 +713,7 @@ SELECT vec_id AS q_id, CAST(3 AS BIGINT) AS n_returned, CAST(3 AS BIGINT) AS n_c
 FROM embeddings WHERE vec_id < 20
 """.strip()
     o["knn_join_ivf_cosine"] = o["knn_join_ivf"]
+    o["knn_join_filtered"] = o["knn_join_ivf"]
     # full BQ oracle: per-segment (vec_id // ANN_RPS) double-precision mean
     # centroid → sign bits for every vector AND for the query (per segment)
     # → hamming → top-10 by (hamming asc, vec_id asc) — bit-for-bit the

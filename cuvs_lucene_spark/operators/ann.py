@@ -1596,10 +1596,18 @@ def knn_join_ivf(
     q_vec: str = "q_vec",
     nprobe: int | None = None,
     probe_mode: str = "auto",
+    filter_ext_ids=None,
+    filter_mode: str = "auto",
 ) -> DataFrame:
     """Scalable kNN join through the IVF sidecar (the bucketed composition
     ``knn_join``'s docstring promises): for every query row, its k nearest
     indexed vectors by the index metric → (q_id, vec_id, score, rank).
+
+    ``filter_ext_ids`` restricts the INDEXED side for every query (the
+    batch-inference "join against the lang=en subset" shape) — pre-
+    semantics, same acceptDocs contract and two-tier transport as
+    :func:`ann_topk` (set → closure; DataFrame → per-segment blobs joined
+    onto the list rows, no driver set).
 
     Shape at scale — never an all-pairs crossJoin:
     1. one tiny centroids scan (pushed ``list_id = -1`` filter);
@@ -1656,6 +1664,7 @@ def knn_join_ivf(
         bf_segs = sorted(flat_seg - ivf_seg)
     bf_segs = [int(s) for s in bf_segs]
     tomb = _ann_tombstones(spark, cat)
+    allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
     fixed_nprobe = nprobe
 
     q = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"))
@@ -1812,6 +1821,10 @@ def knn_join_ivf(
             )
         )
         lists = flat_lists if lists is None else lists.unionByName(flat_lists)
+    if fblobs is not None:
+        # blob-tier filter rides the list rows; segments with no allowed id
+        # are pruned from the join entirely (inner join)
+        lists = lists.join(fblobs, "segment_id")
     sel = lists.join(bundle, ["segment_id", "list_id"])
 
     def score(it):
@@ -1820,12 +1833,15 @@ def knn_join_ivf(
                 dim = len(r.qs[0]["q_vec"])
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n, dim)
                 ids = np.frombuffer(r.ext_ids, np.int64)
-                if tomb is not None:
-                    live = ~_member_mask(ids, tomb)
-                    if not live.all():
-                        ids, x = ids[live], x[live]
-                        if ids.size == 0:
-                            continue
+                acc = _accept_mask(
+                    ids, allowed if allowed is not None else _blob_allowed(pdf, r),
+                    tomb,
+                )
+                if acc is not None:
+                    if not acc.any():
+                        continue
+                    if not acc.all():
+                        ids, x = ids[acc], x[acc]
                 qids_h = np.array([s["q_id"] for s in r.qs], dtype=np.int64)
                 qs = np.array([s["q_vec"] for s in r.qs], dtype=np.float64)
                 x64 = x.astype(np.float64)

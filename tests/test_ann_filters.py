@@ -120,6 +120,34 @@ def test_dataframe_filter_tier_equals_driver_set_every_mode(spark, acat, xdata):
     assert auto == want["exact"]
 
 
+def test_knn_join_ivf_filtered(spark, acat, xdata):
+    """Filtered batch inference: knn_join_ivf with a pre-filter returns
+    only allowed ids, identically through the closure tier (set) and the
+    blob tier (DataFrame, filter_mode='df')."""
+    flt = set(range(0, N, 2))
+    qdf = spark.createDataFrame(
+        [(i, xdata[i].tolist()) for i in (7, 42, 301)],
+        "q_id long, q_vec array<float>",
+    )
+    want = sorted(
+        (r["q_id"], r["rank"], r["vec_id"]) for r in
+        knn_join_ivf(spark, acat, qdf, k=3, filter_ext_ids=flt).collect()
+    )
+    assert len(want) == 9 and all(v % 2 == 0 for _, _, v in want)
+    fdf = spark.createDataFrame([(i,) for i in sorted(flt)], "ext_id long")
+    got = sorted(
+        (r["q_id"], r["rank"], r["vec_id"]) for r in
+        knn_join_ivf(spark, acat, qdf, k=3, filter_ext_ids=fdf,
+                     filter_mode="df").collect()
+    )
+    assert got == want
+    # each query's hits lie inside the exact filtered top-3k (containment)
+    for qi in (7, 42, 301):
+        exact = set(_exact_ids(xdata, xdata[qi], 9, subset=flt))
+        hits = {v for q, _, v in want if q == qi}
+        assert hits <= exact
+
+
 def test_deleted_never_returned_by_any_mode(spark, acat, xdata):
     """TestCuVSDeletedDocuments analogue: tombstone the TRUE top-3 of a
     query, then no mode may return any of them — on every format."""
