@@ -108,6 +108,10 @@ def _ann_index(spark: SparkSession, sf_dir: str):
         from cuvs_lucene_spark.operators.ann import build_ann_pq
 
         build_ann_pq(spark, cat, CFG)
+    if not cat.stage_done("ann_ivfpq"):
+        from cuvs_lucene_spark.operators.ann import build_ann_ivfpq
+
+        build_ann_ivfpq(spark, cat, CFG)
     _CATS[key] = cat
     return cat
 
@@ -306,6 +310,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         __import__(
             "cuvs_lucene_spark.operators.ann_graph", fromlist=["ann_topk_graph"]
         ).ann_topk_graph(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG)
+        .select(F.col("ext_id").alias("vec_id")),
+        ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
+                 cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
+    )
+    # combined IVF-PQ: probed COMPRESSED lists (ADC over pq codes of the
+    # nprobe closest lists only) + exact refinement — the cuVS IVF_PQ
+    # search contract and the read-volume shape for 10^11 vectors
+    q["ann_ivfpq_l2"] = lambda s, d: _contain(
+        __import__(
+            "cuvs_lucene_spark.operators.ann", fromlist=["ann_topk_ivfpq"]
+        ).ann_topk_ivfpq(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG)
         .select(F.col("ext_id").alias("vec_id")),
         ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
                  cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
@@ -694,6 +709,7 @@ SELECT CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_returne
        CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_contained
 """.strip()
     o["ann_ivf_l2"] = _contain10
+    o["ann_ivfpq_l2"] = _contain10
     o["ann_sq_l2"] = _contain10
     o["ann_graph_l2"] = _contain10
     o["ann_pq_l2"] = _contain10

@@ -174,6 +174,10 @@ def main():
     timed("ann_sq", lambda: ann_topk_sq(spark, acat, q0, k=10, cfg=cfg).collect())
     timed("ann_pq_build", lambda: build_ann_pq(spark, acat, cfg))
     timed("ann_pq", lambda: ann_topk_pq(spark, acat, q0, k=10, cfg=cfg).collect())
+    from cuvs_lucene_spark.operators.ann import ann_topk_ivfpq, build_ann_ivfpq
+
+    timed("ann_ivfpq_build", lambda: build_ann_ivfpq(spark, acat, cfg))
+    timed("ann_ivfpq", lambda: ann_topk_ivfpq(spark, acat, q0, k=10, cfg=cfg).collect())
     from cuvs_lucene_spark.operators.ann_graph import ann_topk_graph, build_ann_graph
 
     timed("ann_graph_build", lambda: build_ann_graph(spark, acat, cfg))

@@ -650,84 +650,14 @@ def ann_topk(
     if use_ivf and not cat.exists("ann_ivf"):
         use_ivf = False
     if use_ivf:
-        ivf = cat.read(spark, "ann_ivf")
         dim = q.size
-        n_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
-            "n_ivf_segments"
+        sel = _probe_select(
+            spark, cat,
+            cat.read(spark, "ann_ivf").filter(F.col("list_id") >= 0),
+            qn, nprobe, probe_mode,
         )
-        distributed = probe_mode == "distributed" or (
-            probe_mode == "auto"
-            and n_segs is not None
-            and n_segs > PROBE_DRIVER_MAX_SEGMENTS
-        )
-        sel = None
-        if distributed:
-            # probe ranking runs NEXT TO the pruned centroid scan; only
-            # (segment_id, list_id) pairs flow onward — zero driver state
-            fixed_npb = nprobe
-
-            def probe(it):
-                for pdf in it:
-                    for r in pdf.itertuples():
-                        n_lists = int(r.n)
-                        cents = np.frombuffer(r.vectors, np.float32).reshape(n_lists, dim)
-                        raw = r.ext_ids
-                        n_total = (
-                            int(np.frombuffer(raw, np.int64)[0])
-                            if raw else n_lists * 2000
-                        )
-                        npb = fixed_npb or max(
-                            1, min(n_lists, ivf_pq_params(n_total, dim)["n_probes"])
-                        )
-                        cd = (
-                            (cents.astype(np.float64) - qn.astype(np.float64)[None, :]) ** 2
-                        ).sum(1)
-                        take = np.argsort(cd, kind="stable")[:npb]
-                        yield pd.DataFrame(
-                            {"segment_id": r.segment_id,
-                             "list_id": take.astype(np.int32)}
-                        )
-
-            pairs_df = (
-                ivf.filter(F.col("list_id") == -1)
-                .select("segment_id", "n", "ext_ids", "vectors")
-                .mapInPandas(probe, "segment_id long, list_id int")
-            )
-            sel = ivf.filter(F.col("list_id") >= 0).join(
-                pairs_df, ["segment_id", "list_id"], "left_semi"
-            )
-        else:
-            # centroid pack collected once (memoized); ranking is ONE
-            # vectorized pass over the concatenated centroid matrix —
-            # no per-segment Python loop on the query path
-            pack = _centroid_pack(spark, cat)
-            if pack is None:
-                use_ivf = False
-            else:
-                cd = ((pack["C"].astype(np.float64) - qn.astype(np.float64)[None, :]) ** 2).sum(1)
-                npb_row = (
-                    np.minimum(pack["n_lists_row"], int(nprobe))
-                    if nprobe else pack["npb_row"]
-                )
-                o = np.lexsort((cd, pack["seg_row"]))
-                seg_s = pack["seg_row"][o]
-                starts = np.r_[0, np.flatnonzero(seg_s[1:] != seg_s[:-1]) + 1]
-                counts = np.diff(np.r_[starts, seg_s.size])
-                grp = np.repeat(np.arange(starts.size), counts)
-                rank = np.arange(seg_s.size) - starts[grp]
-                keep = rank < npb_row[o]
-                segs_keep = seg_s[keep]
-                lists_keep = pack["lst_row"][o][keep]
-                probe_lists = sorted(set(int(x) for x in lists_keep))
-                pairs_df = spark.createDataFrame(
-                    list(zip(segs_keep.tolist(), lists_keep.tolist())),
-                    "segment_id long, list_id int",
-                )
-                # pushed list_id IN (...) prunes row groups at the scan;
-                # the broadcast semi-join restricts to the exact pairs
-                sel = ivf.filter(F.col("list_id").isin(probe_lists)).join(
-                    F.broadcast(pairs_df), ["segment_id", "list_id"], "left_semi"
-                )
+        if sel is None:
+            use_ivf = False
     if use_ivf and sel is not None:
 
         def score_lists(it):
@@ -779,6 +709,95 @@ def ann_topk(
 
 
 PROBE_DRIVER_MAX_SEGMENTS = 4096  # above this, probe ranking leaves the driver
+
+
+def _probe_select(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    scan_df: DataFrame,
+    qn: np.ndarray,
+    nprobe: int | None = None,
+    probe_mode: str = "auto",
+) -> DataFrame | None:
+    """Restrict ``scan_df`` (rows keyed by (segment_id, list_id) — raw IVF
+    lists or IVF-PQ code lists) to the single-query probe's chosen lists.
+    Probe ranking follows ``probe_mode`` (see :func:`ann_topk`): ``driver``
+    ranks one memoized centroid pack vectorized; ``distributed`` ranks in
+    a ``mapInPandas`` beside the pruned ``list_id = -1`` centroid scan
+    (zero driver state ∝ segment count); ``auto`` switches on
+    ``PROBE_DRIVER_MAX_SEGMENTS``. Returns None when no segment has an
+    IVF index (caller falls back to brute force)."""
+    dim = int(qn.size)
+    n_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
+        "n_ivf_segments"
+    )
+    distributed = probe_mode == "distributed" or (
+        probe_mode == "auto"
+        and n_segs is not None
+        and n_segs > PROBE_DRIVER_MAX_SEGMENTS
+    )
+    if distributed:
+        fixed_npb = nprobe
+
+        def probe(it):
+            for pdf in it:
+                for r in pdf.itertuples():
+                    n_lists = int(r.n)
+                    cents = np.frombuffer(r.vectors, np.float32).reshape(n_lists, dim)
+                    raw = r.ext_ids
+                    n_total = (
+                        int(np.frombuffer(raw, np.int64)[0])
+                        if raw else n_lists * 2000
+                    )
+                    npb = fixed_npb or max(
+                        1, min(n_lists, ivf_pq_params(n_total, dim)["n_probes"])
+                    )
+                    cd = (
+                        (cents.astype(np.float64) - qn.astype(np.float64)[None, :]) ** 2
+                    ).sum(1)
+                    take = np.argsort(cd, kind="stable")[:npb]
+                    yield pd.DataFrame(
+                        {"segment_id": r.segment_id,
+                         "list_id": take.astype(np.int32)}
+                    )
+
+        pairs_df = (
+            cat.read(spark, "ann_ivf")
+            .filter(F.col("list_id") == -1)
+            .select("segment_id", "n", "ext_ids", "vectors")
+            .mapInPandas(probe, "segment_id long, list_id int")
+        )
+        return scan_df.join(pairs_df, ["segment_id", "list_id"], "left_semi")
+    # centroid pack collected once (memoized); ranking is ONE vectorized
+    # pass over the concatenated centroid matrix — no per-segment Python
+    # loop on the query path
+    pack = _centroid_pack(spark, cat)
+    if pack is None:
+        return None
+    cd = ((pack["C"].astype(np.float64) - qn.astype(np.float64)[None, :]) ** 2).sum(1)
+    npb_row = (
+        np.minimum(pack["n_lists_row"], int(nprobe))
+        if nprobe else pack["npb_row"]
+    )
+    o = np.lexsort((cd, pack["seg_row"]))
+    seg_s = pack["seg_row"][o]
+    starts = np.r_[0, np.flatnonzero(seg_s[1:] != seg_s[:-1]) + 1]
+    counts = np.diff(np.r_[starts, seg_s.size])
+    grp = np.repeat(np.arange(starts.size), counts)
+    rank = np.arange(seg_s.size) - starts[grp]
+    keep = rank < npb_row[o]
+    segs_keep = seg_s[keep]
+    lists_keep = pack["lst_row"][o][keep]
+    probe_lists = sorted(set(int(x) for x in lists_keep))
+    pairs_df = spark.createDataFrame(
+        list(zip(segs_keep.tolist(), lists_keep.tolist())),
+        "segment_id long, list_id int",
+    )
+    # pushed list_id IN (...) prunes row groups at the scan; the broadcast
+    # semi-join restricts to the exact pairs
+    return scan_df.filter(F.col("list_id").isin(probe_lists)).join(
+        F.broadcast(pairs_df), ["segment_id", "list_id"], "left_semi"
+    )
 
 
 def _centroid_pack(spark: SparkSession, cat: IndexCatalog) -> dict | None:
@@ -1220,6 +1239,228 @@ def ann_topk_pq(
     )
 
 
+IVFPQ_SCHEMA = "segment_id long, list_id int, n int, ext_ids binary, codes binary"
+
+
+def _ivfpq_rows(ivf_df: DataFrame, pq_df: DataFrame, metric: str = "l2") -> DataFrame:
+    """Per-list PQ codes — the combined IVF-PQ structure the reference's
+    parameter factory derives as ONE unit (``CagraIndexParamsFactory.java:
+    31-93`` sets nLists/nProbes AND pqDim/pqBits together; cuVS's IVF_PQ
+    index stores pq-encoded residualless codes per inverted list). Each
+    segment's IVF lists are re-encoded against the segment's existing PQ
+    codebook (navigation space), so a probed list costs ``n·pq_dim`` bytes
+    instead of ``n·4·dim`` — the read-volume shape that works at 100 TB."""
+
+    def enc(key, lists: pd.DataFrame, pqp: pd.DataFrame) -> pd.DataFrame:
+        cols = ["segment_id", "list_id", "n", "ext_ids", "codes"]
+        empty = pd.DataFrame({c: [] for c in cols}).astype(
+            {"segment_id": "int64", "list_id": "int32", "n": "int32",
+             "ext_ids": "object", "codes": "object"}
+        )
+        if lists.empty or pqp.empty:
+            return empty
+        r = pqp.iloc[0]
+        pq_dim, bits = int(r["pq_dim"]), int(r["pq_bits"])
+        dim = int(r["dim"])
+        sub = dim // pq_dim
+        books = np.frombuffer(r["codebook"], np.float32).reshape(
+            pq_dim, 1 << bits, sub
+        )
+        out = []
+        for lr in lists.itertuples():
+            x = np.frombuffer(lr.vectors, np.float32).reshape(int(lr.n), dim)
+            xn = _nav_vectors(x, metric)
+            codes = np.empty((int(lr.n), pq_dim), np.uint8)
+            for s_ in range(pq_dim):
+                xs = xn[:, s_ * sub : (s_ + 1) * sub].astype(np.float64)
+                cb = books[s_].astype(np.float64)
+                d = -2.0 * xs @ cb.T + (cb**2).sum(1)[None, :]
+                codes[:, s_] = d.argmin(1).astype(np.uint8)
+            out.append(
+                (int(lr.segment_id), int(lr.list_id), int(lr.n),
+                 lr.ext_ids, codes.tobytes())
+            )
+        if not out:
+            return empty
+        return pd.DataFrame(out, columns=cols)
+
+    return (
+        ivf_df.filter(F.col("list_id") >= 0)
+        .groupby("segment_id")
+        .cogroup(pq_df.groupby("segment_id"))
+        .applyInPandas(enc, IVFPQ_SCHEMA)
+    )
+
+
+def build_ann_ivfpq(
+    spark: SparkSession, cat: IndexCatalog, cfg: IndexConfig | None = None
+) -> None:
+    """Build the combined IVF-PQ lists (probed, compressed — see
+    :func:`_ivfpq_rows`). Requires the PQ codebooks; builds them first if
+    absent. Centroid rows are shared with ``ann_ivf`` (one coarse
+    quantizer per segment, two list payloads)."""
+    cfg = cfg or IndexConfig()
+    if not cat.exists("ann_pq"):
+        build_ann_pq(spark, cat, cfg)
+    metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
+    cat.write(
+        _ivfpq_rows(
+            cat.read(spark, "ann_ivf"), cat.read(spark, "ann_pq"), metric
+        ),
+        "ann_ivfpq",
+        sort_within_partitions=["segment_id", "list_id"],
+    )
+    cat.mark_stage("ann_ivfpq")
+
+
+def ann_topk_ivfpq(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    nprobe: int | None = None,
+    rerank_factor: int = 3,
+    filter_ext_ids=None,
+    visited_limit: int | None = None,
+    filter_mode: str = "auto",
+    probe_mode: str = "auto",
+) -> DataFrame:
+    """IVF-PQ search — probe ``nprobe`` lists per segment (same two probe
+    modes as :func:`ann_topk`), ADC-score ONLY the probed lists' pq codes
+    (one LUT per segment), take ``k·rerank_factor`` coarse candidates per
+    list, rescore them EXACTLY from the flat storage in a per-segment
+    cogroup → global top-k. This is the cuVS IVF_PQ search contract
+    (coarse ADC + refinement), and the IO shape that survives 100 TB:
+    probed bytes are ``nprobe · list_len · pq_dim`` vs the raw path's
+    ``nprobe · list_len · 4·dim``. Approximate (probe + ADC recall),
+    containment-validated; returned scores are exact under the index's
+    build metric. Pre-filter + tombstones restrict candidates BEFORE the
+    coarse cut (acceptDocs on every format); ``visited_limit`` caps
+    ADC-scored vectors per list."""
+    cfg = cfg or IndexConfig()
+    metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
+    q = np.asarray(query, dtype=np.float32)
+    qn = _nav_query(q, metric)
+    if k <= 0:
+        return spark.createDataFrame([], "ext_id long, score double")
+    m_coarse = k * max(1, rerank_factor)
+    allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
+    tomb = _ann_tombstones(spark, cat)
+    budget = None if visited_limit is None else max(1, int(visited_limit))
+
+    sel = _probe_select(
+        spark, cat, cat.read(spark, "ann_ivfpq"), qn, nprobe, probe_mode
+    )
+    flat = cat.read(spark, "ann_flat")
+    if fblobs is not None:
+        flat = flat.join(fblobs, "segment_id")
+    if sel is None:
+        sel = spark.createDataFrame([], IVFPQ_SCHEMA)  # bf-only catalog
+    else:
+        # per-segment codebook meta rides the selected list rows (small:
+        # one codebook per segment, dim·2^bits floats)
+        pqmeta = cat.read(spark, "ann_pq").select(
+            "segment_id", "dim", "pq_dim", "pq_bits", "codebook"
+        )
+        sel = sel.join(pqmeta, "segment_id")
+        if fblobs is not None:
+            sel = sel.join(fblobs, "segment_id")
+
+    def adc(it):
+        q64 = qn.astype(np.float64)
+        for pdf in it:
+            for r in pdf.itertuples():
+                pq_dim, bits = int(r.pq_dim), int(r.pq_bits)
+                dim = int(r.dim)
+                sub = dim // pq_dim
+                books = np.frombuffer(r.codebook, np.float32).reshape(
+                    pq_dim, 1 << bits, sub
+                )
+                codes = np.frombuffer(r.codes, np.uint8).reshape(int(r.n), pq_dim)
+                ids = np.frombuffer(r.ext_ids, np.int64)
+                qsub = q64.reshape(pq_dim, sub)
+                lut = ((books.astype(np.float64) - qsub[:, None, :]) ** 2).sum(2)
+                approx = lut[np.arange(pq_dim)[None, :], codes].sum(1)
+                acc = _accept_mask(
+                    ids, allowed if allowed is not None else _blob_allowed(pdf, r),
+                    tomb,
+                )
+                ok = np.arange(ids.size) if acc is None else np.flatnonzero(acc)
+                if budget is not None:
+                    ok = ok[:budget]  # visitedLimit per leaf
+                if ok.size == 0:
+                    continue
+                take = ok[np.argsort(approx[ok], kind="stable")[:m_coarse]]
+                yield pd.DataFrame(
+                    {"segment_id": int(r.segment_id), "ext_id": ids[take],
+                     "approx": approx[take]}
+                )
+
+    cands = sel.mapInPandas(adc, "segment_id long, ext_id long, approx double")
+
+    def rerank(key, cp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
+            {"segment_id": "int64", "ext_id": "int64", "score": "float64"}
+        )
+        if cp.empty or fp.empty:
+            return empty
+        fr = fp.iloc[0]
+        n, dim = int(fr["n_vecs"]), int(fr["dim"])
+        x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
+        ids = np.frombuffer(fr["ext_ids"], np.int64)
+        want = np.unique(cp["ext_id"].to_numpy(np.int64))
+        hit = np.flatnonzero(_member_mask(ids, want))
+        if hit.size == 0:
+            return empty
+        s = _scores(x[hit], q, metric)
+        top = np.argsort(-s, kind="stable")[:k]
+        return pd.DataFrame(
+            {"segment_id": int(fr["segment_id"]), "ext_id": ids[hit][top],
+             "score": s[top]}
+        )
+
+    partials = (
+        cands.groupby("segment_id")
+        .cogroup(flat.groupby("segment_id"))
+        .applyInPandas(rerank, TOPK_SCHEMA)
+    )
+    # B2 degradation ladder: index-less segments are brute-forced from flat
+    bf_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
+        "bf_fallback_segments"
+    ) or []
+    if bf_segs:
+
+        def scan_bf(it):
+            for pdf in it:
+                for r in pdf.itertuples():
+                    x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
+                    ids = np.frombuffer(r.ext_ids, np.int64)
+                    acc = _accept_mask(
+                        ids,
+                        allowed if allowed is not None else _blob_allowed(pdf, r),
+                        tomb,
+                    )
+                    if acc is not None:
+                        ids, x = ids[acc], x[acc]
+                    if ids.size == 0:
+                        continue
+                    s = _scores(x, q, metric)
+                    top = np.argsort(-s, kind="stable")[:k]
+                    yield pd.DataFrame(
+                        {"segment_id": r.segment_id, "ext_id": ids[top],
+                         "score": s[top]}
+                    )
+
+        missing = flat.filter(F.col("segment_id").isin([int(s) for s in bf_segs]))
+        partials = partials.unionByName(missing.mapInPandas(scan_bf, TOPK_SCHEMA))
+    return (
+        partials.orderBy(F.desc("score"), F.asc("ext_id"))
+        .limit(k)
+        .select("ext_id", "score")
+    )
+
+
 def build_ann_fields(
     spark: SparkSession,
     df: DataFrame,
@@ -1481,6 +1722,18 @@ def merge_ann(
             _pq_rows(new_flat_df, cfg, metric), "ann_pq", tag=tag,
             extra_entry={"dropped_segments": _dropped_for("ann_pq")},
         )
+    if cat.exists("ann_ivfpq") and cat.exists("ann_pq"):
+        gen_hi = ANN_MERGE_BASE + ((gen + 1) << 32)
+        in_gen = (F.col("segment_id") >= gen_base) & (F.col("segment_id") < gen_hi)
+        cat.append(
+            _ivfpq_rows(
+                cat.read(spark, "ann_ivf").filter(in_gen),
+                cat.read(spark, "ann_pq").filter(in_gen),
+                metric,
+            ),
+            "ann_ivfpq", tag=tag,
+            extra_entry={"dropped_segments": _dropped_for("ann_ivfpq")},
+        )
 
     # B2 fallback bookkeeping: recompute from post-merge metadata (both
     # collects are segment-count-sized manifest upkeep, like streaming's)
@@ -1546,7 +1799,7 @@ def compact_ann(spark: SparkSession, cat: IndexCatalog) -> None:
         cat.read_manifest()["tables"].get("ann_flat", {}).get("ann_merge_gen", 0)
     )
     for table in ("ann_flat", "ann_ids", "ann_sq", "ann_bq", "ann_ivf",
-                  "ann_graph", "ann_pq"):
+                  "ann_graph", "ann_pq", "ann_ivfpq"):
         if not cat.exists(table):
             continue
         extra = {"ann_merge_gen": gen} if table == "ann_flat" else None

@@ -191,6 +191,20 @@ def incremental_add_vectors(
         from cuvs_lucene_spark.operators.ann import _pq_rows
 
         cat.append(_pq_rows(flat, cfg, metric), "ann_pq", tag=tag)
+    if cat.exists("ann_ivfpq") and cat.exists("ann_pq"):
+        # combined IVF-PQ lists for the NEW segments only (per-segment
+        # independence) — encode this epoch's ivf lists against this
+        # epoch's pq codebooks
+        from cuvs_lucene_spark.operators.ann import _ivf_rows as _ivf2
+        from cuvs_lucene_spark.operators.ann import _ivfpq_rows, _pq_rows
+
+        cat.append(
+            _ivfpq_rows(
+                _ivf2(flat, cfg.ann, metric), _pq_rows(flat, cfg, metric), metric
+            ),
+            "ann_ivfpq",
+            tag=tag,
+        )
     # maintain the B2 brute-force fallback list for sub-min-size segments
     flat_segs = {int(r["segment_id"]) for r in flat.select("segment_id").collect()}
     ivf_segs = {
