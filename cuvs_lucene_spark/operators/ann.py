@@ -419,11 +419,11 @@ def _resolve_filter(
     )
     if filter_mode == "df":
         return None, _filter_blobs(spark, cat, fdf)
-    head = (
-        fdf.limit(FILTER_BROADCAST_MAX + 1).collect()
-        if filter_mode == "auto"
-        else fdf.collect()
-    )
+    if filter_mode == "broadcast":
+        # forced closure tier: the caller vouches the set fits the driver
+        head = fdf.collect()
+        return np.sort(np.array([r[0] for r in head], dtype=np.int64)), None
+    head = fdf.limit(FILTER_BROADCAST_MAX + 1).collect()
     if len(head) > FILTER_BROADCAST_MAX:
         return None, _filter_blobs(spark, cat, fdf)
     return np.sort(np.array([r[0] for r in head], dtype=np.int64)), None
@@ -508,7 +508,15 @@ def delete_ann(
                 groups = [
                     affected[i : i + fanin] for i in range(0, len(affected), fanin)
                 ]
-                merge_ann(spark, cat, cfg, groups=groups)
+                # segment layout is INDEX state: rebuild at the catalog's
+                # persisted rows_per_segment, never the caller cfg's default
+                # (a bare delete must not restructure the index)
+                idx_rps = cat.read_manifest().get("config", {}).get(
+                    "rows_per_segment"
+                ) or cfg.rows_per_segment
+                merge_ann(
+                    spark, cat, cfg, groups=groups, rows_per_segment=idx_rps
+                )
                 n = int(cat.table_lineage("ann_tombstones").get("n", 0))
     return n
 
@@ -689,7 +697,11 @@ def ann_topk(
             flat = flat.join(fblobs, "segment_id")
         if bf_segs is None:
             # pre-v2 index without the manifest list: derive it with an anti-join
-            ivf_seg_df = ivf.filter(F.col("list_id") == -1).select("segment_id")
+            ivf_seg_df = (
+                cat.read(spark, "ann_ivf")
+                .filter(F.col("list_id") == -1)
+                .select("segment_id")
+            )
             missing = flat.join(ivf_seg_df, "segment_id", "left_anti")
             partials = partials.unionByName(missing.mapInPandas(scan, TOPK_SCHEMA))
         elif bf_segs:
@@ -1428,8 +1440,23 @@ def ann_topk_ivfpq(
     # B2 degradation ladder: index-less segments are brute-forced from flat
     bf_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
         "bf_fallback_segments"
-    ) or []
-    if bf_segs:
+    )
+    if bf_segs is None:
+        # pre-v2 index without the manifest list: derive it with an anti-join
+        # (same fallback derivation as ann_topk — never silently empty)
+        ivf_seg_df = (
+            cat.read(spark, "ann_ivf")
+            .filter(F.col("list_id") == -1)
+            .select("segment_id")
+        )
+        bf_missing = flat.join(ivf_seg_df, "segment_id", "left_anti")
+    elif bf_segs:
+        bf_missing = flat.filter(
+            F.col("segment_id").isin([int(s) for s in bf_segs])
+        )
+    else:
+        bf_missing = None
+    if bf_missing is not None:
 
         def scan_bf(it):
             for pdf in it:
@@ -1452,8 +1479,7 @@ def ann_topk_ivfpq(
                          "score": s[top]}
                     )
 
-        missing = flat.filter(F.col("segment_id").isin([int(s) for s in bf_segs]))
-        partials = partials.unionByName(missing.mapInPandas(scan_bf, TOPK_SCHEMA))
+        partials = partials.unionByName(bf_missing.mapInPandas(scan_bf, TOPK_SCHEMA))
     return (
         partials.orderBy(F.desc("score"), F.asc("ext_id"))
         .limit(k)

@@ -652,11 +652,24 @@ def warm_term_df_memo(
     entries) at any corpus scale. Called from build/merge finalize; cold
     terms still fall back to the per-term pruned lookup."""
     m = cat.read_manifest()
-    if not m["tables"].get("terms_global", {}).get("snapshot"):
+    tg = m["tables"].get("terms_global", {})
+    if not tg.get("snapshot"):
         return
+    # same freshness gate as _live_stats_and_df: never stamp dfs from a
+    # dictionary older than the newest table commit as current
     latest = max(
         (e.get("committed_at", 0) for e in m["tables"].values()), default=0
     )
+    others = max(
+        (
+            e.get("committed_at", 0)
+            for t, e in m["tables"].items()
+            if t != "terms_global"
+        ),
+        default=0,
+    )
+    if tg.get("committed_at", 0) < others:
+        return  # stale dictionary: let queries take the live-df path
     rows = (
         cat.read(spark, "terms_global")
         .orderBy(F.desc("df"), F.asc("term"))

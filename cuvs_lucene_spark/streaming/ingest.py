@@ -159,6 +159,14 @@ def incremental_add_vectors(
     )
 
     flat = base.groupBy("segment_id").applyInPandas(build_flat_pdf, FLAT_SCHEMA).cache()
+    if cat.exists("ann_flat") and not cat.exists("ann_ids"):
+        # pre-v3 catalog: materialize the FULL map from the existing flat
+        # blobs before this epoch appends — seeding an empty table here
+        # would disable the self-heal and silently prune the pre-existing
+        # segments from every future DataFrame-filtered query
+        from cuvs_lucene_spark.operators.ann import _ann_ids
+
+        _ann_ids(spark, cat)
     for table, schema in (
         ("ann_flat", FLAT_SCHEMA),
         ("ann_ids", "segment_id long, ext_id long"),
@@ -192,15 +200,20 @@ def incremental_add_vectors(
 
         cat.append(_pq_rows(flat, cfg, metric), "ann_pq", tag=tag)
     if cat.exists("ann_ivfpq") and cat.exists("ann_pq"):
-        # combined IVF-PQ lists for the NEW segments only (per-segment
-        # independence) — encode this epoch's ivf lists against this
-        # epoch's pq codebooks
-        from cuvs_lucene_spark.operators.ann import _ivf_rows as _ivf2
-        from cuvs_lucene_spark.operators.ann import _ivfpq_rows, _pq_rows
+        # combined IVF-PQ lists for the NEW segments only: re-read the
+        # JUST-COMMITTED ivf lists and pq codebooks filtered to this
+        # epoch's segment range — never re-run the k-means clustering that
+        # produced them (it is the dominant CPU cost of ingest)
+        from cuvs_lucene_spark.operators.ann import _ivfpq_rows
 
+        in_epoch = (F.col("segment_id") >= seg_base) & (
+            F.col("segment_id") < seg_base + EPOCH_STRIDE
+        )
         cat.append(
             _ivfpq_rows(
-                _ivf2(flat, cfg.ann, metric), _pq_rows(flat, cfg, metric), metric
+                cat.read(spark, "ann_ivf").filter(in_epoch),
+                cat.read(spark, "ann_pq").filter(in_epoch),
+                metric,
             ),
             "ann_ivfpq",
             tag=tag,
