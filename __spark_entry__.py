@@ -572,6 +572,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         all_ids=_docs(s, d).select("doc_id"),
     )
 
+    # ---- end-to-end training-set selection (the decision table a data
+    # pipeline actually materializes): keep a doc iff it is the exact-dedup
+    # keeper AND passes the quality gate AND is English — one composed
+    # DataFrame plan over the dedup + textstats operators, full SQL oracle
+    def _corpus_selection(s, d):
+        docs = _docs(s, d)
+        keep = dd.dedup_keep_list(docs).select(
+            F.col("id").alias("doc_id"), "keep"
+        )
+        qual = textstats.quality_score(docs).select(
+            F.col("id").alias("doc_id"), "quality"
+        )
+        lang = textstats.lang_id(docs).select(
+            F.col("id").alias("doc_id"), "pred_lang"
+        )
+        return (
+            docs.select("doc_id")
+            .join(keep, "doc_id")
+            .join(qual, "doc_id")
+            .join(lang, "doc_id")
+            .select(
+                "doc_id",
+                (
+                    F.col("keep")
+                    & (F.col("quality") >= 0.5)
+                    & (F.col("pred_lang") == "en")
+                ).alias("selected"),
+            )
+        )
+
+    q["corpus_selection"] = _corpus_selection
+
     # ---- text analysis ----
     q["lang_id"] = lambda s, d: textstats.lang_id(_docs(s, d)).select(
         F.col("id").alias("doc_id"), "pred_lang"
@@ -876,6 +908,19 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
 """.strip()
 
+    o["corpus_selection"] = f"""
+WITH kl AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+  FROM (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents)
+),
+qs AS ({{QUALITY}}),
+lg AS ({{LANG}})
+SELECT d.doc_id,
+       (kl.keep AND qs.quality >= 0.5 AND lg.pred_lang = 'en') AS selected
+FROM documents d
+JOIN kl USING (doc_id) JOIN qs USING (doc_id) JOIN lg USING (doc_id)
+""".strip()
+
     marker_cases = []
     for lg in sorted(textstats.LANG_MARKERS):
         lst = ", ".join(f"'{m}'" for m in textstats.LANG_MARKERS[lg])
@@ -939,4 +984,11 @@ fps AS (
 )
 SELECT doc_id AS id, unnest(f) AS fp FROM fps
 """.strip()
+    # splice the quality/lang oracles (defined above) into the composed
+    # training-set selection oracle
+    o["corpus_selection"] = (
+        o["corpus_selection"]
+        .replace("{QUALITY}", o["quality_score"])
+        .replace("{LANG}", o["lang_id"])
+    )
     return o

@@ -147,6 +147,29 @@ def test_ivf_distributed_probe_no_driver_collect(spark, tmp_path, monkeypatch):
     assert got == want
 
 
+def test_ivfpq_probe_pushes_list_filter_and_no_cartesian(spark, tmp_path):
+    """The IVF-PQ search scans its compressed lists with the probe's
+    list_id filter pushed to parquet, and never a nested-loop join."""
+    from cuvs_lucene_spark.operators.ann import (
+        ann_topk_ivfpq,
+        build_ann,
+        build_ann_ivfpq,
+    )
+
+    rows = [(i, [float(i), float(i % 7)] * 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cat = build_ann(
+        spark, df, str(tmp_path / "ivfpqplan"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=20,
+    )
+    build_ann_ivfpq(spark, cat, CFG)
+    plan = _plan(ann_topk_ivfpq(spark, cat, [1.0] * 8, k=3, cfg=CFG))
+    pushed = [seg for seg in plan.split("PushedFilters: ")[1:]]
+    assert any("list_id" in p[:300] for p in pushed), plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_knn_join_ivf_distributed_probe_no_driver_collect(spark, tmp_path, monkeypatch):
     """knn_join_ivf's distributed probe: NO collect whose size grows with
     segment count (the centroid pack must never land in the driver /
