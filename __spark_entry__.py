@@ -247,6 +247,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["boolean_and"] = lambda s, d: (
         boolean_and(s, _index(s, d), Q_AND, CFG).select(F.col("ext_id").alias("doc_id"))
     )
+    # full BooleanQuery matching surface (MUST / SHOULD / MUST_NOT)
+    q["boolean_or"] = lambda s, d: (
+        __import__("cuvs_lucene_spark.operators.bm25", fromlist=["boolean_or"])
+        .boolean_or(s, _index(s, d), Q_OR, CFG)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
+    q["boolean_and_not"] = lambda s, d: (
+        __import__("cuvs_lucene_spark.operators.bm25", fromlist=["boolean_and_not"])
+        .boolean_and_not(s, _index(s, d), [Q_AND[0]], [Q_AND[1]], CFG)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
+    q["boolean_mixed"] = lambda s, d: (
+        __import__("cuvs_lucene_spark.operators.bm25", fromlist=["boolean_query"])
+        .boolean_query(s, _index(s, d), must=["dup"], any_of=Q_OR,
+                       exclude=["slow"], cfg=CFG)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
     q["stored_fetch"] = lambda s, d: fetch_stored(
         s, _index(s, d),
         bm25_topk(s, _index(s, d), Q_OR, k=5, cfg=CFG)
@@ -666,6 +683,13 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_after_merge"] = bm25_sql(Q_OR, k=10, delete_pred=DEL_PRED)
     o["term_query"] = term_docs_sql(DEL_TERM)
     o["boolean_and"] = boolean_and_sql(Q_AND)
+    from cuvs_lucene_spark.oracle import boolean_query_sql
+
+    o["boolean_or"] = boolean_query_sql(any_of=Q_OR)
+    o["boolean_and_not"] = boolean_query_sql(must=[Q_AND[0]], exclude=[Q_AND[1]])
+    o["boolean_mixed"] = boolean_query_sql(
+        must=["dup"], any_of=Q_OR, exclude=["slow"]
+    )
     o["stored_fetch"] = f"""
 WITH topk AS ({bm25_sql(Q_OR, k=5)})
 SELECT d.doc_id, d.lang, d.source, topk.score

@@ -895,6 +895,116 @@ def boolean_and(
     )
 
 
+def boolean_query(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    must: list[str] | tuple = (),
+    any_of: list[str] | tuple = (),
+    exclude: list[str] | tuple = (),
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Lucene ``BooleanQuery`` MATCHING semantics as set algebra over the
+    posting lists (H5 generalized): ``must`` = every term required (MUST),
+    ``any_of`` = at least one required (SHOULD with minimumShouldMatch=1),
+    ``exclude`` = none may match (MUST_NOT). At least one positive clause
+    is required — a pure MUST_NOT query matches nothing, Lucene's own
+    rule. One pruned postings scan for the union of all clause terms; per
+    segment the sorted doc-id runs combine with numpy set ops; tombstones
+    apply. Returns DataFrame(ext_id)."""
+    cfg = cfg or IndexConfig()
+    must = list(dict.fromkeys(must))
+    any_of = list(dict.fromkeys(any_of))
+    exclude = list(dict.fromkeys(exclude))
+    if not must and not any_of:
+        raise ValueError(
+            "at least one positive clause (must / any_of) is required"
+        )
+    all_terms = list(dict.fromkeys([*must, *any_of, *exclude]))
+    postings = _query_postings(spark, cat, all_terms, cfg)
+    aux = _aux_df(spark, cat, None)
+
+    def ev(p: pd.DataFrame, a: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"segment_id": pd.Series([], dtype="int64"),
+             "ext_id": pd.Series([], dtype="int64")}
+        )
+        if p.empty or a.empty:
+            return empty
+        seg = int(p["segment_id"].iloc[0])
+        dls, ext_ids, tomb, allowed = _aux_arrays(a)
+        if ext_ids is None:
+            return empty
+        pt = _group_postings(p, set(all_terms))
+
+        def docs_of(t: str) -> np.ndarray:
+            if t not in pt:
+                return np.empty(0, np.int64)
+            return np.concatenate(
+                [
+                    np.cumsum(varint_decode(b), dtype=np.int64)
+                    for b in pt[t]["doc_deltas"]
+                ]
+            )
+
+        if any(t not in pt for t in must):
+            return empty  # a MUST term absent from this segment
+        cur = None
+        # smallest MUST term first keeps the running set tiny
+        for t in sorted(must, key=lambda t: int(pt[t]["n"].sum())):
+            d = docs_of(t)
+            cur = d if cur is None else np.intersect1d(cur, d, assume_unique=True)
+            if cur.size == 0:
+                return empty
+        if any_of:
+            parts = [docs_of(t) for t in any_of]
+            u = (
+                np.unique(np.concatenate(parts))
+                if parts else np.empty(0, np.int64)
+            )
+            cur = u if cur is None else np.intersect1d(cur, u, assume_unique=True)
+        for t in exclude:
+            d = docs_of(t)
+            if cur.size and d.size:
+                cur = np.setdiff1d(cur, d, assume_unique=True)
+        if cur.size == 0:
+            return empty
+        alive = _alive_mask(dls.size, tomb, allowed)
+        cur = cur[alive[cur]]
+        return pd.DataFrame(
+            {"segment_id": np.full(cur.size, seg, dtype=np.int64),
+             "ext_id": ext_ids[cur]}
+        )
+
+    return (
+        postings.groupby("segment_id")
+        .cogroup(aux.groupby("segment_id"))
+        .applyInPandas(lambda _k, p, a: ev(p, a), MATCH_SCHEMA)
+        .select("ext_id")
+    )
+
+
+def boolean_or(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    terms: list[str],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Boolean OR: docs containing at least one of ``terms`` (SHOULD)."""
+    return boolean_query(spark, cat, any_of=terms, cfg=cfg)
+
+
+def boolean_and_not(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    must: list[str],
+    exclude: list[str],
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Boolean AND-NOT: docs with every ``must`` term and no ``exclude``
+    term (MUST + MUST_NOT)."""
+    return boolean_query(spark, cat, must=must, exclude=exclude, cfg=cfg)
+
+
 def fetch_stored(
     spark: SparkSession,
     cat: IndexCatalog,

@@ -108,3 +108,32 @@ WHERE {live}
   AND {" AND ".join(f"list_contains({toks}, '{t}')" for t in terms)}
 ORDER BY {id_col}
 """.strip()
+
+
+def boolean_query_sql(
+    must: list[str] = (),
+    any_of: list[str] = (),
+    exclude: list[str] = (),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """BooleanQuery matching oracle: MUST ∧ (≥1 SHOULD) ∧ ¬MUST_NOT."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    preds = [live]
+    preds += [f"list_contains({toks}, '{t}')" for t in dict.fromkeys(must)]
+    if any_of:
+        preds.append(
+            "(" + " OR ".join(
+                f"list_contains({toks}, '{t}')" for t in dict.fromkeys(any_of)
+            ) + ")"
+        )
+    preds += [f"NOT list_contains({toks}, '{t}')" for t in dict.fromkeys(exclude)]
+    return f"""
+SELECT {id_col}
+FROM {table}
+WHERE {" AND ".join(preds)}
+ORDER BY {id_col}
+""".strip()

@@ -120,6 +120,34 @@ def test_dataframe_filter_tier_equals_driver_set_every_mode(spark, acat, xdata):
     assert auto == want["exact"]
 
 
+def test_filter_auto_escalates_to_blob_tier(spark, acat, xdata, monkeypatch):
+    """Above FILTER_BROADCAST_MAX the AUTO tier must leave the driver (the
+    bm25 two-tier contract on the ANN paths): drop the threshold, verify
+    the blob path is taken, and the result still equals the closure tier."""
+    import cuvs_lucene_spark.operators.ann as A
+
+    flt = list(range(0, N, 2))
+    q = xdata[7]
+    want = [r["ext_id"] for r in ann_topk(
+        spark, acat, q, k=5, cfg=CFG, mode="exact",
+        filter_ext_ids=set(flt)).collect()]
+    monkeypatch.setattr(A, "FILTER_BROADCAST_MAX", 10)
+    used = {}
+    orig = A._filter_blobs
+
+    def spy(s, c, f):
+        used["blob"] = True
+        return orig(s, c, f)
+
+    monkeypatch.setattr(A, "_filter_blobs", spy)
+    fdf = spark.createDataFrame([(i,) for i in flt], "ext_id long")
+    got = [r["ext_id"] for r in ann_topk(
+        spark, acat, q, k=5, cfg=CFG, mode="exact",
+        filter_ext_ids=fdf).collect()]
+    assert used.get("blob"), "auto tier stayed on the driver above the cap"
+    assert got == want
+
+
 def test_knn_join_ivf_filtered(spark, acat, xdata):
     """Filtered batch inference: knn_join_ivf with a pre-filter returns
     only allowed ids, identically through the closure tier (set) and the

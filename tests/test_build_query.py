@@ -206,3 +206,37 @@ def test_visited_limit_budget(spark, cat):
         for r in bm25_topk(spark, cat, ["join", "vector"], k=10**6, cfg=CFG).collect()
     }
     assert {(r["ext_id"], round(r["score"], 6)) for r in tiny} <= exhaustive
+
+
+def test_boolean_query_matching_semantics(spark, cat):
+    """Full BooleanQuery surface: MUST / SHOULD / MUST_NOT set algebra
+    equals the per-doc token-set evaluation, and a pure-negative query is
+    rejected (Lucene's rule)."""
+    import pytest as _pytest
+
+    import pandas as _pd
+
+    from cuvs_lucene_spark.functions.tokenize import tokenize_py
+    from cuvs_lucene_spark.operators.bm25 import (
+        boolean_and_not,
+        boolean_or,
+        boolean_query,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    tok_lists = tokenize_py(_pd.Series([r["text"] for r in rows]))
+    docs = {r["doc_id"]: set(t) for r, t in zip(rows, tok_lists)}
+    got_or = {r["ext_id"] for r in boolean_or(spark, cat, ["join", "vector"], CFG).collect()}
+    assert got_or == {i for i, t in docs.items() if t & {"join", "vector"}}
+    got_not = {r["ext_id"] for r in
+               boolean_and_not(spark, cat, ["dup"], ["slow"], CFG).collect()}
+    assert got_not == {i for i, t in docs.items() if "dup" in t and "slow" not in t}
+    got_mix = {r["ext_id"] for r in boolean_query(
+        spark, cat, must=["dup"], any_of=["join", "vector"], exclude=["slow"],
+        cfg=CFG).collect()}
+    assert got_mix == {
+        i for i, t in docs.items()
+        if "dup" in t and (t & {"join", "vector"}) and "slow" not in t
+    }
+    with _pytest.raises(ValueError):
+        boolean_query(spark, cat, exclude=["dup"], cfg=CFG)
