@@ -240,3 +240,38 @@ def test_boolean_query_matching_semantics(spark, cat):
     }
     with _pytest.raises(ValueError):
         boolean_query(spark, cat, exclude=["dup"], cfg=CFG)
+
+
+def test_boolean_query_randomized_property(spark, cat):
+    """Property: for 40 random clause combinations over the corpus vocab,
+    boolean_query == per-doc token-set evaluation (one index build, many
+    clause sets — the randomized-matrix methodology of the reference's
+    TestCuVSRandomizedVectorSearch applied to the boolean surface)."""
+    import random
+
+    import pandas as _pd
+
+    from cuvs_lucene_spark.functions.tokenize import tokenize_py
+    from cuvs_lucene_spark.operators.bm25 import boolean_query
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    tok_lists = tokenize_py(_pd.Series([r["text"] for r in rows]))
+    docs = {r["doc_id"]: set(t) for r, t in zip(rows, tok_lists)}
+    vocab = sorted(set().union(*docs.values()))
+    rng = random.Random(99)
+    for trial in range(40):
+        must = rng.sample(vocab, rng.randint(0, 2))
+        any_of = rng.sample(vocab, rng.randint(0, 3))
+        exclude = rng.sample(vocab, rng.randint(0, 2))
+        if not must and not any_of:
+            any_of = [rng.choice(vocab)]
+        got = {r["ext_id"] for r in boolean_query(
+            spark, cat, must=must, any_of=any_of, exclude=exclude, cfg=CFG
+        ).collect()}
+        exp = {
+            i for i, t in docs.items()
+            if all(m in t for m in must)
+            and (not any_of or (t & set(any_of)))
+            and not (t & set(exclude))
+        }
+        assert got == exp, (trial, must, any_of, exclude)
