@@ -879,6 +879,30 @@ def _centroid_rows(spark: SparkSession, cat: IndexCatalog) -> list:
     return rows
 
 
+def _exact_segment_scan(fp, fr, q, metric, allowed, tomb, k):
+    """Exact per-segment scan from the flat row — the B2 fallback a derived
+    search path takes when its sidecar row is MISSING for a segment (a
+    crash between a merge's flat append and its derived appends, or any
+    partially-rebuilt state): the segment's vectors stay reachable, like
+    the graph path's bf branch, instead of silently dropping from results.
+    Returns None when nothing is accepted."""
+    n, dim = int(fr["n_vecs"]), int(fr["dim"])
+    x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
+    ids = np.frombuffer(fr["ext_ids"], np.int64)
+    m = _accept_mask(
+        ids, allowed if allowed is not None else _blob_allowed(fp, fr), tomb
+    )
+    if m is not None:
+        ids, x = ids[m], x[m]
+    if ids.size == 0:
+        return None
+    s = _scores(x, q, metric)
+    top = np.argsort(-s, kind="stable")[:k]
+    return pd.DataFrame(
+        {"segment_id": int(fr["segment_id"]), "ext_id": ids[top], "score": s[top]}
+    )
+
+
 def _validate_metric(cat: IndexCatalog, metric: str) -> None:
     built = cat.read_manifest().get("config", {}).get("ann_metric")
     if built is not None and metric != built:
@@ -934,8 +958,13 @@ def ann_topk_sq(
         empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
             {"segment_id": "int64", "ext_id": "int64", "score": "float64"}
         )
-        if sqp.empty or fp.empty:
+        if fp.empty:
             return empty
+        if sqp.empty:  # missing SQ row: exact fallback keeps it reachable
+            out = _exact_segment_scan(
+                fp, fp.iloc[0], q, metric, allowed, tomb, k
+            )
+            return empty if out is None else out
         r = sqp.iloc[0]
         n, dim = int(r["n_vecs"]), int(r["dim"])
         codes = np.frombuffer(r["codes"], np.int8).reshape(n, dim)
@@ -1039,19 +1068,36 @@ def ann_topk_bq(
             {"segment_id": "int64", "ext_id": "int64",
              val: "float64" if rerank else "int32"}
         )
-        if bqp.empty or fp.empty:
+        if fp.empty:
             return empty
-        r = bqp.iloc[0]
-        codes = np.frombuffer(r["codes"], np.uint8).reshape(r["n_vecs"], -1)
-        # v2 writes the centroid as float64; v1 indexes wrote float32 —
-        # gate on blob length (dim*8 vs dim*4) so pre-v2 indexes still open
-        dim = int(r["dim"])
-        raw = bytes(r["centroid"])
-        if len(raw) == dim * 8:
-            centroid = np.frombuffer(raw, np.float64)
-        else:
-            centroid = np.frombuffer(raw, np.float32).astype(np.float64)
         fr = fp.iloc[0]
+        if bqp.empty:
+            # missing BQ row: recompute codes + centroid from the flat blob
+            # on the fly — binary quantization is a deterministic function
+            # of the stored vectors, so the segment stays reachable with
+            # bit-identical hamming semantics (requires the rerank path's
+            # flat 'vectors' column; the pure-hamming projection carries
+            # only ids, so fall back exactly when we can)
+            from cuvs_lucene_spark.functions.quantize import binary_quantize
+
+            if "vectors" not in fp.columns:
+                return empty
+            nv = int(fr["n_vecs"])
+            x_all = np.frombuffer(fr["vectors"], np.float32).reshape(nv, -1)
+            codes, cent64 = binary_quantize(_nav_vectors(x_all, metric))
+            dim = x_all.shape[1]
+            centroid = cent64.astype(np.float64)
+        else:
+            r = bqp.iloc[0]
+            codes = np.frombuffer(r["codes"], np.uint8).reshape(r["n_vecs"], -1)
+            # v2 writes the centroid as float64; v1 indexes wrote float32 —
+            # gate on blob length (dim*8 vs dim*4) so pre-v2 indexes open
+            dim = int(r["dim"])
+            raw = bytes(r["centroid"])
+            if len(raw) == dim * 8:
+                centroid = np.frombuffer(raw, np.float64)
+            else:
+                centroid = np.frombuffer(raw, np.float32).astype(np.float64)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
         # query bits in the same (navigation) space the codes were built in
         qbits = np.packbits(_nav_query(q, metric).astype(np.float64) > centroid)
@@ -1067,16 +1113,17 @@ def ann_topk_bq(
         if idx.size == 0:
             return empty
         top = idx[np.lexsort((ids[idx], ham[idx]))[:m_coarse]]
+        seg = int(fr["segment_id"])
         if not rerank:
             return pd.DataFrame(
-                {"segment_id": int(r["segment_id"]), "ext_id": ids[top],
+                {"segment_id": seg, "ext_id": ids[top],
                  "hamming": ham[top].astype(np.int32)}
             )
         x = np.frombuffer(fr["vectors"], np.float32).reshape(int(fr["n_vecs"]), dim)
         s = _scores(x[top], q, metric)
         best = np.argsort(-s, kind="stable")[:k]
         return pd.DataFrame(
-            {"segment_id": int(r["segment_id"]), "ext_id": ids[top][best],
+            {"segment_id": seg, "ext_id": ids[top][best],
              "score": s[best]}
         )
 
@@ -1202,8 +1249,13 @@ def ann_topk_pq(
         empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
             {"segment_id": "int64", "ext_id": "int64", "score": "float64"}
         )
-        if pqp.empty or fp.empty:
+        if fp.empty:
             return empty
+        if pqp.empty:  # missing PQ row: exact fallback keeps it reachable
+            out = _exact_segment_scan(
+                fp, fp.iloc[0], q, metric, allowed, tomb, k
+            )
+            return empty if out is None else out
         r = pqp.iloc[0]
         n, dim = int(r["n_vecs"]), int(r["dim"])
         pq_dim, bits = int(r["pq_dim"]), int(r["pq_bits"])

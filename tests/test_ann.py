@@ -251,3 +251,38 @@ def test_validation_rejects(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         build_ann(spark, ragged, "/tmp/should_not_exist_ann2", CFG, id_col="vec_id", vector_col="embedding")
+
+
+def test_missing_derived_rows_fall_back_to_exact(spark, tmp_path, np_vecs, vecs):
+    """Crash-state robustness: a segment whose SQ/PQ/BQ sidecar row is
+    missing (e.g. a failure between a merge's flat append and its derived
+    appends) must stay REACHABLE — the cogroup kernels fall back to the
+    exact flat scan (SQ/PQ) or recompute the deterministic codes on the
+    fly (BQ rerank), mirroring the graph path's bf branch."""
+    from cuvs_lucene_spark.operators.ann import (
+        ann_topk_bq,
+        ann_topk_pq,
+        ann_topk_sq,
+        build_ann_pq,
+    )
+
+    ids, x = np_vecs
+    cat = build_ann(
+        spark, vecs, str(tmp_path / "crash"), CFG, id_col="vec_id",
+        vector_col="embedding", rows_per_segment=100,
+    )
+    build_ann_pq(spark, cat, CFG)
+    q = x[7]
+    # ground truth: segment of the true top hit
+    top1 = int(ann_topk(spark, cat, q, k=1, cfg=CFG, mode="exact").collect()[0]["ext_id"])
+    seg = top1 // 100
+    for table in ("ann_sq", "ann_pq", "ann_bq"):
+        pruned = cat.read(spark, table).filter(F.col("segment_id") != seg)
+        cat.write(pruned, table)
+    got_sq = [r["ext_id"] for r in ann_topk_sq(spark, cat, q, k=3, cfg=CFG).collect()]
+    got_pq = [r["ext_id"] for r in ann_topk_pq(spark, cat, q, k=3, cfg=CFG).collect()]
+    got_bq = [r["ext_id"] for r in ann_topk_bq(
+        spark, cat, q, k=3, cfg=CFG, rerank_factor=4).collect()]
+    assert got_sq[0] == top1
+    assert got_pq[0] == top1
+    assert top1 in got_bq  # hamming-coarse, rerank exact
