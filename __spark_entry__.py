@@ -424,6 +424,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.col("ext_id").alias("vec_id")),
         _exact_cos30(s, d),
     )
+
+    # combined IVF-PQ under COSINE: codebooks + codes live in navigation
+    # (unit) space, ADC uses the unit query, refinement returns true cosine
+    def _ann_ivfpq_cos(s, d):
+        from cuvs_lucene_spark.operators.ann import ann_topk_ivfpq, build_ann_ivfpq
+
+        cat = _ann_cos_index(s, d)
+        if not cat.stage_done("ann_ivfpq"):
+            import dataclasses
+
+            ccfg = dataclasses.replace(
+                CFG, ann=dataclasses.replace(CFG.ann, metric="cosine")
+            )
+            build_ann_ivfpq(s, cat, ccfg)
+        return _contain(
+            ann_topk_ivfpq(s, cat, _qvec(s, d, 7), k=10, cfg=CFG)
+            .select(F.col("ext_id").alias("vec_id")),
+            _exact_cos30(s, d),
+        )
+
+    q["ann_ivfpq_cosine"] = _ann_ivfpq_cos
     q["ann_graph_cosine"] = lambda s, d: _contain(
         __import__(
             "cuvs_lucene_spark.operators.ann_graph", fromlist=["ann_topk_graph"]
@@ -770,6 +791,7 @@ SELECT CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_returne
     o["ann_graph_l2"] = _contain10
     o["ann_pq_l2"] = _contain10
     o["ann_ivf_cosine"] = _contain10
+    o["ann_ivfpq_cosine"] = _contain10
     o["ann_graph_cosine"] = _contain10
     o["ann_bq_rerank"] = _contain10
     # filtered variants: the candidate pool is the even-vec_id subset

@@ -112,3 +112,43 @@ def test_searcher_manager_analogue_concurrent(spark, docs_df, tmp_path):
     again = [tuple(r) for r in
              bm25_topk(spark, pinned, ["join", "vector"], k=10, cfg=CFG).collect()]
     assert again == baseline
+
+
+def test_pinned_reader_derives_filter_map_without_persisting(spark, tmp_path):
+    """A commit-point reader pinned BEFORE the ann_ids map existed must
+    still answer DataFrame-filtered queries: _ann_ids derives the map per
+    query (read-only — the PermissionError branch) and never writes."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cuvs_lucene_spark.operators.ann import build_ann
+    from cuvs_lucene_spark.sources.catalog import CommitPointReader
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(120, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(120)], "vec_id long, embedding array<float>"
+    )
+    cat = build_ann(
+        spark, df, str(tmp_path / "pin"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=60,
+    )
+    # simulate a pre-v3 commit: pin the current manifest minus ann_ids
+    m = json.loads(json.dumps(cat.read_manifest()))
+    m["tables"].pop("ann_ids")
+    pinned = CommitPointReader(cat.root, m)
+    assert not pinned.exists("ann_ids")
+    fdf = spark.createDataFrame([(i,) for i in range(0, 120, 2)], "ext_id long")
+    got = [r["ext_id"] for r in ann_topk(
+        spark, pinned, x[7], k=5, cfg=CFG, mode="exact",
+        filter_ext_ids=fdf, filter_mode="df").collect()]
+    want = [r["ext_id"] for r in ann_topk(
+        spark, cat, x[7], k=5, cfg=CFG, mode="exact",
+        filter_ext_ids={i for i in range(0, 120, 2)}).collect()]
+    assert got == want
+    # nothing was persisted through the read-only reader
+    assert not pinned.exists("ann_ids")
+    snaps = os.listdir(os.path.join(cat.root, "ann_ids"))
+    assert len([s for s in snaps if s.startswith("snap-")]) == 1  # build's own
