@@ -1,0 +1,121 @@
+"""spark-submit maintenance entry — the background-compaction run a
+long-lived index needs (the host Lucene side of the reference runs under
+TieredMergePolicy + IndexWriter deletes; this is that loop as a cluster
+job):
+
+    zip -r /tmp/engine.zip cuvs_lucene_spark
+    spark-submit --master local[8] --py-files /tmp/engine.zip \
+        jobs/maintain_index.py --index /tmp/idx \
+        [--delete-term dup] [--force-merge] [--ann] [--delete-ids 3 12]
+
+Steps (each optional / idempotent):
+  1. apply deletes (--delete-term for the text index, --delete-ids for the
+     ANN sidecar — the sidecar's envelope policy may auto-merge);
+  2. tiered merge: pick_merge_groups + merge_segments (smallest segments
+     first, fan-in from config; --force-merge collapses to one segment);
+  3. ANN group-wise merge of undersized segments when --ann is given;
+  4. compaction happens automatically through the dropped-fraction
+     triggers inside the merge paths.
+Prints one JSON line with before/after segment counts and timings."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--index", required=True)
+    p.add_argument("--delete-term", default=None)
+    p.add_argument("--delete-ids", nargs="*", type=int, default=None)
+    p.add_argument("--force-merge", action="store_true")
+    p.add_argument("--ann", action="store_true",
+                   help="also maintain the ANN sidecar tables in --index")
+    p.add_argument("--rows-per-segment", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from cuvs_lucene_spark.config import IndexConfig
+    from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+    spark = SparkSession.builder.appName("cuvs_lucene_spark_maintain").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cfg = IndexConfig()
+    cat = IndexCatalog(args.index)
+    out: dict = {"index": args.index}
+    t_all = time.time()
+
+    if cat.exists("segment_stats"):
+        out["segments_before"] = cat.read(spark, "segment_stats").count()
+        if args.delete_term:
+            from cuvs_lucene_spark.operators.deletes import delete_by_term
+
+            t0 = time.time()
+            delete_by_term(spark, cat, args.delete_term, cfg)
+            out["delete_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        if args.force_merge:
+            from cuvs_lucene_spark.operators.merge import force_merge
+
+            force_merge(spark, cat, cfg)
+        else:
+            from cuvs_lucene_spark.operators.merge import (
+                merge_segments,
+                pick_merge_groups,
+            )
+
+            groups = pick_merge_groups(
+                spark, cat, cfg, max_segment_docs=args.rows_per_segment
+            )
+            out["merge_groups"] = len(groups)
+            if groups:
+                merge_segments(spark, cat, cfg, groups=groups)
+        out["merge_sec"] = round(time.time() - t0, 3)
+        out["segments_after"] = cat.read(spark, "segment_stats").count()
+
+    if args.ann and cat.exists("ann_flat"):
+        from pyspark.sql import functions as F
+
+        from cuvs_lucene_spark.operators.ann import delete_ann, merge_ann
+
+        out["ann_segments_before"] = (
+            cat.read(spark, "ann_flat").select("segment_id").count()
+        )
+        if args.delete_ids:
+            t0 = time.time()
+            out["ann_tombstones"] = delete_ann(spark, cat, args.delete_ids, cfg)
+            out["ann_delete_sec"] = round(time.time() - t0, 3)
+        # tiered ANN maintenance: merge undersized segments, fan-in groups
+        rps = args.rows_per_segment or cat.read_manifest().get("config", {}).get(
+            "rows_per_segment", cfg.rows_per_segment
+        )
+        small = sorted(
+            int(r["segment_id"])
+            for r in cat.read(spark, "ann_flat")
+            .filter(F.col("n_vecs") < rps).select("segment_id").collect()
+        )
+        groups = [
+            small[i : i + cfg.merge_fanin]
+            for i in range(0, len(small), cfg.merge_fanin)
+        ]
+        groups = [g for g in groups if len(g) >= 2]
+        out["ann_merge_groups"] = len(groups)
+        if groups:
+            t0 = time.time()
+            merge_ann(spark, cat, cfg, groups=groups, rows_per_segment=rps)
+            out["ann_merge_sec"] = round(time.time() - t0, 3)
+        out["ann_segments_after"] = (
+            cat.read(spark, "ann_flat").select("segment_id").count()
+        )
+
+    out["total_sec"] = round(time.time() - t_all, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
