@@ -57,11 +57,16 @@ class AnnParams:
     kmeans_iters: int = 10
     seed: int = 42
     # tombstone envelope: once registered deletes exceed this fraction of
-    # the indexed vectors, delete_ann auto-triggers a group-wise merge_ann
-    # of ONLY the affected segments — the driver-side tombstone set is
-    # thereby provably bounded by (fraction × corpus), the same role
-    # Lucene's deletesPctAllowed merge pressure plays for liveDocs
+    # the indexed vectors OR the absolute count below, delete_ann
+    # auto-triggers a group-wise merge_ann of ONLY the affected segments —
+    # the query-time tombstone set is thereby provably bounded, the same
+    # role Lucene's deletesPctAllowed merge pressure plays for liveDocs.
+    # The absolute cap matters because a fraction is not a size: at 10¹¹
+    # vectors, 25% is 2.5·10¹⁰ ids. Between FILTER_BROADCAST_MAX and this
+    # cap, tombstones resolve through per-segment packed blobs (DataFrame
+    # tier), never a driver array.
     delete_merge_fraction: float = 0.25
+    delete_merge_max_count: int = 2_000_000
 
 
 @dataclass(frozen=True)
@@ -141,6 +146,14 @@ class IndexConfig:
             raise ValueError(
                 f"ann.delete_merge_fraction={self.ann.delete_merge_fraction} "
                 "out of range (0, 1]"
+            )
+        if not (
+            isinstance(self.ann.delete_merge_max_count, int)
+            and self.ann.delete_merge_max_count >= 1
+        ):
+            raise ValueError(
+                f"ann.delete_merge_max_count={self.ann.delete_merge_max_count!r} "
+                "must be a positive int"
             )
         if not (0.0 <= self.compact_dropped_fraction <= 1.0):
             raise ValueError(

@@ -267,6 +267,10 @@ def build_ann(
             "ann_metric": ann.metric,
             "ann_format": ANN_FORMAT_VERSION,
             "rows_per_segment": rps,
+            # merge-pressure knobs are INDEX state (delete_ann reads them
+            # from here, not from the deleting caller's cfg)
+            "delete_merge_fraction": ann.delete_merge_fraction,
+            "delete_merge_max_count": ann.delete_merge_max_count,
         }
     )
     base = vectors.select(
@@ -341,13 +345,42 @@ FILTER_BROADCAST_MAX = 200_000  # DataFrame filters above this resolve to
                                 # per-segment packed blobs, never a driver set
 
 
+def _derived_in_sync(cat: IndexCatalog, table: str) -> bool:
+    """Manifest-level (zero-job) consistency check of a derived ANN table
+    against ``ann_flat``: every append tag the flat table carries must be
+    covered by the derived table's own appends (merge generations and
+    streaming epochs commit BOTH sides under ONE shared tag) or by a
+    recorded ``covers_tags`` heal marker. A crash between merge_ann's
+    per-table appends leaves the derived table missing the new tag — this
+    detects that staleness from metadata alone, so the healthy path pays
+    nothing and a crashed state is healed (ann_ids) or routed through the
+    exact-from-flat fallback (bq/ivfpq) instead of silently dropping the
+    new segments' vectors."""
+    m = cat.read_manifest()
+    fe = m["tables"].get("ann_flat", {})
+    de = m["tables"].get(table, {})
+    if not de or de.get("snapshot") is None:
+        return False
+    flat_tags = set(fe.get("append_tags", {}))
+    covered = set(de.get("append_tags", {})) | set(de.get("covers_tags", []))
+    return not (flat_tags - covered)
+
+
 def _ann_ids(spark: SparkSession, cat: IndexCatalog) -> DataFrame:
     """Thin (segment_id, ext_id) map of the ANN sidecar — the row-level
     ord→doc table (S6) that lets a DataFrame filter resolve to per-segment
     masks with one equi-join (the role doc_map plays for the bm25 filter
     tier). Written at build; lazily derived + committed once for pre-v4
-    indexes (commit-point readers derive without persisting)."""
-    if cat.exists("ann_ids"):
+    indexes (commit-point readers derive without persisting).
+
+    STALENESS guard: a crash between merge_ann's ann_flat append and its
+    ann_ids append would otherwise leave the map permanently missing the
+    merged segments — and the blob-tier inner join would silently exclude
+    every merged vector from filtered queries. ``_derived_in_sync``
+    detects the gap from the manifest's append tags (no Spark job) and
+    re-derives + rewrites the whole map once, recording ``covers_tags`` so
+    the heal is itself a consistent commit."""
+    if cat.exists("ann_ids") and _derived_in_sync(cat, "ann_ids"):
         return cat.read(spark, "ann_ids")
 
     def explode(it):
@@ -365,8 +398,14 @@ def _ann_ids(spark: SparkSession, cat: IndexCatalog) -> DataFrame:
         .select("segment_id", "ext_ids")
         .mapInPandas(explode, "segment_id long, ext_id long")
     )
+    flat_tags = sorted(
+        cat.read_manifest()["tables"].get("ann_flat", {}).get("append_tags", {})
+    )
     try:
-        cat.write(ids, "ann_ids", sort_within_partitions=["segment_id", "ext_id"])
+        cat.write(
+            ids, "ann_ids", sort_within_partitions=["segment_id", "ext_id"],
+            extra_entry={"covers_tags": flat_tags},
+        )
         return cat.read(spark, "ann_ids")
     except PermissionError:  # pinned commit-point reader: derive per query
         return ids
@@ -464,6 +503,40 @@ def _accept_mask(
     return m
 
 
+def _blob_tomb(frame: pd.DataFrame, row) -> np.ndarray | None:
+    """Per-segment tombstone ids from the joined ``tomb`` blob column (if
+    the blob tombstone tier is active), else None."""
+    if "tomb" not in frame.columns:
+        return None
+    blob = row["tomb"] if isinstance(row, pd.Series) else row.tomb
+    return None if blob is None else np.frombuffer(blob, np.int64)
+
+
+def _row_accept(frame: pd.DataFrame, row, ids: np.ndarray,
+                allowed: np.ndarray | None, tomb: np.ndarray | None):
+    """acceptDocs for one segment row under BOTH two-tier transports:
+    closure arrays when small, per-segment packed blobs (``allowed`` /
+    ``tomb`` columns joined onto the scan) when large."""
+    return _accept_mask(
+        ids,
+        allowed if allowed is not None else _blob_allowed(frame, row),
+        tomb if tomb is not None else _blob_tomb(frame, row),
+    )
+
+
+def _attach_aux(df: DataFrame, fblobs: DataFrame | None,
+                tblobs: DataFrame | None) -> DataFrame:
+    """Ride the per-segment aux blobs on a segment-keyed scan: the filter
+    blob INNER-joins (a segment with no allowed id is pruned entirely);
+    the tombstone blob LEFT-joins (a segment with no tombstones must still
+    be scanned in full)."""
+    if fblobs is not None:
+        df = df.join(fblobs, "segment_id")
+    if tblobs is not None:
+        df = df.join(tblobs, "segment_id", "left")
+    return df
+
+
 def delete_ann(
     spark: SparkSession,
     cat: IndexCatalog,
@@ -477,15 +550,30 @@ def delete_ann(
     next :func:`merge_ann` (M5). Returns the live tombstone count; the
     count rides the manifest so the no-deletes path costs zero jobs.
 
+    ``ext_ids`` accepts a set / sequence of ids (small deletes) or a
+    DataFrame of ids (parity with ``delete_docs``): a DataFrame delete is
+    registered with ONE distributed union+distinct — no driver-side id
+    array anywhere, the mass-delete shape for 10⁹-row retention sweeps.
+
     Envelope policy: once the tombstone count exceeds
-    ``cfg.ann.delete_merge_fraction`` of the indexed vectors, a GROUP-WISE
-    :func:`merge_ann` of only the AFFECTED segments fires automatically
-    (resolved via the thin ``ann_ids`` map), physically dropping the
-    deleted rows and clearing their tombstones — so the query-time
-    tombstone set is provably bounded (Lucene's deletesPctAllowed merge
-    pressure, applied per-segment)."""
+    ``cfg.ann.delete_merge_fraction`` of the indexed vectors OR the
+    absolute ``delete_merge_max_count`` (a fraction is not a size — at
+    10¹¹ vectors a fraction alone would let the tombstone set grow
+    unboundedly in bytes), a GROUP-WISE :func:`merge_ann` of only the
+    AFFECTED segments fires automatically (resolved via the thin
+    ``ann_ids`` map), physically dropping the deleted rows and clearing
+    their tombstones — so the query-time tombstone set is provably
+    bounded (Lucene's deletesPctAllowed merge pressure, applied
+    per-segment). Both thresholds read from the catalog's PERSISTED
+    config first (merge pressure is index state, not caller state),
+    falling back to the passed cfg."""
     cfg = cfg or IndexConfig()
-    new = spark.createDataFrame([(int(i),) for i in set(ext_ids)], "ext_id long")
+    if isinstance(ext_ids, DataFrame):
+        new = ext_ids.select(
+            F.col(ext_ids.columns[0]).cast("long").alias("ext_id")
+        ).distinct()
+    else:
+        new = spark.createDataFrame([(int(i),) for i in set(ext_ids)], "ext_id long")
     if cat.exists("ann_tombstones"):
         new = cat.read(spark, "ann_tombstones").unionByName(new).distinct()
     new = new.cache()
@@ -493,10 +581,17 @@ def delete_ann(
     cat.write(new, "ann_tombstones", lineage={"n": n})
     new.unpersist()
     if auto_merge and n:
+        pcfg = cat.read_manifest().get("config", {})
+        frac = float(
+            pcfg.get("delete_merge_fraction", cfg.ann.delete_merge_fraction)
+        )
+        max_n = int(
+            pcfg.get("delete_merge_max_count", cfg.ann.delete_merge_max_count)
+        )
         total = cat.read(spark, "ann_flat").agg(
             F.sum("n_vecs").alias("t")
         ).collect()[0]["t"] or 0
-        if total and n > cfg.ann.delete_merge_fraction * total:
+        if total and (n > frac * total or n >= max_n):
             affected = sorted(
                 int(r["segment_id"])
                 for r in _ann_ids(spark, cat)
@@ -521,11 +616,11 @@ def delete_ann(
     return n
 
 
-def _ann_tombstones(spark: SparkSession, cat: IndexCatalog) -> np.ndarray | None:
+def _tombstone_array(spark: SparkSession, cat: IndexCatalog) -> np.ndarray | None:
     """Sorted tombstoned ext_ids (None when empty), memoized per manifest
-    version. The in-memory set is bounded by deletes-since-last-merge —
-    the same envelope as Lucene's per-segment liveDocs bitset — and is
-    cleared by merge_ann's rebuild."""
+    version — the CLOSURE tier, used only when the registered count is at
+    most ``FILTER_BROADCAST_MAX`` (``_resolve_tombstones`` routes bigger
+    sets through per-segment blobs; this array never grows with them)."""
     if not cat.exists("ann_tombstones"):
         return None
     if cat.table_lineage("ann_tombstones").get("n") == 0:
@@ -542,6 +637,52 @@ def _ann_tombstones(spark: SparkSession, cat: IndexCatalog) -> np.ndarray | None
     arr = arr if arr.size else None
     cat._ann_tomb_memo = {"ver": ver, "arr": arr}
     return arr
+
+
+def _tombstone_blobs(spark: SparkSession, cat: IndexCatalog) -> DataFrame:
+    """Per-segment packed tombstone blobs (sorted int64), resolved
+    EXECUTOR-side through the thin ``ann_ids`` map — the same large-set
+    transport as ``_filter_blobs``, mirroring the per-segment liveDocs
+    model (``TestCuVSDeletedDocuments.java:83``: deletes are leaf-local
+    bits, never a global driver array). Segments with no tombstoned id
+    produce no row; callers LEFT-join so untombed segments still scan."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "segment_id": [int(pdf["segment_id"].iloc[0])],
+                "tomb": [np.sort(pdf["ext_id"].to_numpy(np.int64)).tobytes()],
+            }
+        )
+
+    return (
+        _ann_ids(spark, cat)
+        .join(cat.read(spark, "ann_tombstones"), "ext_id", "left_semi")
+        .groupBy("segment_id")
+        .applyInPandas(pack, "segment_id long, tomb binary")
+    )
+
+
+def _resolve_tombstones(
+    spark: SparkSession, cat: IndexCatalog
+) -> tuple[np.ndarray | None, DataFrame | None]:
+    """Two-tier tombstone resolution shared by every ANN search path →
+    (sorted closure array | None, per-segment blob DataFrame | None).
+    The tier switch reads the count from the manifest lineage (no job):
+    at most ``FILTER_BROADCAST_MAX`` registered deletes keep the memoized
+    closure array; above it the set stays a DataFrame end-to-end."""
+    if not cat.exists("ann_tombstones"):
+        return None, None
+    n = cat.table_lineage("ann_tombstones").get("n")
+    if n == 0:
+        return None, None
+    if n is not None and n > FILTER_BROADCAST_MAX:
+        return None, _tombstone_blobs(spark, cat)
+    return _tombstone_array(spark, cat), None
+
+
+# back-compat alias (closure tier only) for external callers/tests
+_ann_tombstones = _tombstone_array
 
 
 def _scores(x: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
@@ -627,14 +768,14 @@ def ann_topk(
         _validate_metric(cat, metric)
     eff_k = k
     allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
-    tomb = _ann_tombstones(spark, cat)
+    tomb, tblobs = _resolve_tombstones(spark, cat)
     if allowed is not None:
         eff_k = min(k + cfg.overfetch, allowed.size)  # S2 widening
     elif fblobs is not None:
         eff_k = k + cfg.overfetch  # blob tier: widen without a global count
 
-    def _apply_filter(ids: np.ndarray, s: np.ndarray, row_allowed=None):
-        m = _accept_mask(ids, allowed if allowed is not None else row_allowed, tomb)
+    def _apply_filter(frame, row, ids: np.ndarray, s: np.ndarray):
+        m = _row_accept(frame, row, ids, allowed, tomb)
         if m is None:
             return ids, s
         return ids[m], s[m]
@@ -645,9 +786,7 @@ def ann_topk(
             for r in pdf.itertuples():
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
                 ids = np.frombuffer(r.ext_ids, np.int64)
-                ids, s = _apply_filter(
-                    ids, _scores(x, q, metric), _blob_allowed(pdf, r)
-                )
+                ids, s = _apply_filter(pdf, r, ids, _scores(x, q, metric))
                 if ids.size == 0:
                     continue
                 top = np.argsort(-s, kind="stable")[:eff_k]
@@ -673,9 +812,7 @@ def ann_topk(
                 for r in pdf.itertuples():
                     x = np.frombuffer(r.vectors, np.float32).reshape(r.n, dim)
                     ids = np.frombuffer(r.ext_ids, np.int64)
-                    ids, s = _apply_filter(
-                        ids, _scores(x, q, metric), _blob_allowed(pdf, r)
-                    )
+                    ids, s = _apply_filter(pdf, r, ids, _scores(x, q, metric))
                     if ids.size == 0:
                         continue
                     top = np.argsort(-s, kind="stable")[:eff_k]
@@ -683,18 +820,15 @@ def ann_topk(
                         {"segment_id": r.segment_id, "ext_id": ids[top], "score": s[top]}
                     )
 
-        if fblobs is not None:
-            # blob tier: the allowed set rides the list rows (inner join —
-            # segments with zero allowed ids are pruned before scoring)
-            sel = sel.join(fblobs, "segment_id")
+        # blob tiers ride the list rows (filter inner-joins — segments with
+        # zero allowed ids are pruned before scoring; tombstones left-join)
+        sel = _attach_aux(sel, fblobs, tblobs)
         partials = sel.mapInPandas(score_lists, TOPK_SCHEMA)
         # B2 degradation ladder: segments with no IVF index are brute-forced
         bf_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
             "bf_fallback_segments"
         )
-        flat = cat.read(spark, "ann_flat")
-        if fblobs is not None:
-            flat = flat.join(fblobs, "segment_id")
+        flat = _attach_aux(cat.read(spark, "ann_flat"), fblobs, tblobs)
         if bf_segs is None:
             # pre-v2 index without the manifest list: derive it with an anti-join
             ivf_seg_df = (
@@ -708,9 +842,7 @@ def ann_topk(
             missing = flat.filter(F.col("segment_id").isin(list(bf_segs)))
             partials = partials.unionByName(missing.mapInPandas(scan, TOPK_SCHEMA))
     else:
-        flat = cat.read(spark, "ann_flat")
-        if fblobs is not None:
-            flat = flat.join(fblobs, "segment_id")
+        flat = _attach_aux(cat.read(spark, "ann_flat"), fblobs, tblobs)
         partials = flat.mapInPandas(scan, TOPK_SCHEMA)
 
     return (
@@ -889,9 +1021,7 @@ def _exact_segment_scan(fp, fr, q, metric, allowed, tomb, k):
     n, dim = int(fr["n_vecs"]), int(fr["dim"])
     x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
     ids = np.frombuffer(fr["ext_ids"], np.int64)
-    m = _accept_mask(
-        ids, allowed if allowed is not None else _blob_allowed(fp, fr), tomb
-    )
+    m = _row_accept(fp, fr, ids, allowed, tomb)
     if m is not None:
         ids, x = ids[m], x[m]
     if ids.size == 0:
@@ -951,7 +1081,7 @@ def ann_topk_sq(
         return spark.createDataFrame([], "ext_id long, score double")
     m_coarse = k * max(1, rerank_factor)
     allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
-    tomb = _ann_tombstones(spark, cat)
+    tomb, tblobs = _resolve_tombstones(spark, cat)
     budget = None if visited_limit is None else max(1, int(visited_limit))
 
     def scan(key, sqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
@@ -979,11 +1109,7 @@ def ann_topk_sq(
         fr = fp.iloc[0]
         x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
-        mask = _accept_mask(
-            ids,
-            allowed if allowed is not None else _blob_allowed(fp, fr),
-            tomb,
-        )
+        mask = _row_accept(fp, fr, ids, allowed, tomb)
         ok = np.arange(n) if mask is None else np.flatnonzero(mask)
         if budget is not None:
             # visitedLimit contract (GPUPerLeafCuVSKnnCollector.java:26-38):
@@ -999,9 +1125,7 @@ def ann_topk_sq(
             {"segment_id": int(r["segment_id"]), "ext_id": ids[cand][top], "score": s[top]}
         )
 
-    flat = cat.read(spark, "ann_flat")
-    if fblobs is not None:
-        flat = flat.join(fblobs, "segment_id")  # blob tier rides the flat side
+    flat = _attach_aux(cat.read(spark, "ann_flat"), fblobs, tblobs)
     partials = (
         cat.read(spark, "ann_sq")
         .groupby("segment_id")
@@ -1048,12 +1172,18 @@ def ann_topk_bq(
         return spark.createDataFrame([], out_schema)
     m_coarse = k * max(1, rerank_factor or 1)
     bq = cat.read(spark, "ann_bq")
-    flat_cols = ["segment_id", "n_vecs", "ext_ids"] + (["vectors"] if rerank else [])
+    # the pure-hamming projection normally carries only ids (the fat blob
+    # column is never read); when the manifest says ann_bq is OUT OF SYNC
+    # with ann_flat (a crash between merge appends), project 'vectors' too
+    # so the in-scan recompute branch keeps every segment reachable
+    need_vecs = rerank or not _derived_in_sync(cat, "ann_bq")
+    flat_cols = ["segment_id", "n_vecs", "ext_ids"] + (
+        ["vectors"] if need_vecs else []
+    )
     flat = cat.read(spark, "ann_flat").select(*flat_cols)
     allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
-    if fblobs is not None:
-        flat = flat.join(fblobs, "segment_id")  # blob tier rides the flat side
-    tomb = _ann_tombstones(spark, cat)
+    tomb, tblobs = _resolve_tombstones(spark, cat)
+    flat = _attach_aux(flat, fblobs, tblobs)
     budget = None if visited_limit is None else max(1, int(visited_limit))
     from pyspark.sql import functions as F2
 
@@ -1102,9 +1232,7 @@ def ann_topk_bq(
         # query bits in the same (navigation) space the codes were built in
         qbits = np.packbits(_nav_query(q, metric).astype(np.float64) > centroid)
         ham = np.unpackbits(codes ^ qbits[None, :], axis=1).sum(1)
-        mask = _accept_mask(
-            ids, allowed if allowed is not None else _blob_allowed(fp, fr), tomb
-        )
+        mask = _row_accept(fp, fr, ids, allowed, tomb)
         idx = np.arange(ids.size)
         if mask is not None:
             idx = idx[mask]
@@ -1242,7 +1370,7 @@ def ann_topk_pq(
         return spark.createDataFrame([], "ext_id long, score double")
     m_coarse = k * max(1, rerank_factor)
     allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
-    tomb = _ann_tombstones(spark, cat)
+    tomb, tblobs = _resolve_tombstones(spark, cat)
     budget = None if visited_limit is None else max(1, int(visited_limit))
 
     def scan(key, pqp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
@@ -1272,9 +1400,7 @@ def ann_topk_pq(
         fr = fp.iloc[0]
         x = np.frombuffer(fr["vectors"], np.float32).reshape(n, dim)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
-        mask = _accept_mask(
-            ids, allowed if allowed is not None else _blob_allowed(fp, fr), tomb
-        )
+        mask = _row_accept(fp, fr, ids, allowed, tomb)
         ok = np.arange(n) if mask is None else np.flatnonzero(mask)
         if budget is not None:
             ok = ok[:budget]  # visitedLimit: cap vectors scored per leaf
@@ -1287,9 +1413,7 @@ def ann_topk_pq(
             {"segment_id": int(r["segment_id"]), "ext_id": ids[cand][top], "score": s[top]}
         )
 
-    flat = cat.read(spark, "ann_flat")
-    if fblobs is not None:
-        flat = flat.join(fblobs, "segment_id")  # blob tier rides the flat side
+    flat = _attach_aux(cat.read(spark, "ann_flat"), fblobs, tblobs)
     partials = (
         cat.read(spark, "ann_pq")
         .groupby("segment_id")
@@ -1410,15 +1534,13 @@ def ann_topk_ivfpq(
         return spark.createDataFrame([], "ext_id long, score double")
     m_coarse = k * max(1, rerank_factor)
     allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
-    tomb = _ann_tombstones(spark, cat)
+    tomb, tblobs = _resolve_tombstones(spark, cat)
     budget = None if visited_limit is None else max(1, int(visited_limit))
 
     sel = _probe_select(
         spark, cat, cat.read(spark, "ann_ivfpq"), qn, nprobe, probe_mode
     )
-    flat = cat.read(spark, "ann_flat")
-    if fblobs is not None:
-        flat = flat.join(fblobs, "segment_id")
+    flat = _attach_aux(cat.read(spark, "ann_flat"), fblobs, tblobs)
     if sel is None:
         sel = spark.createDataFrame([], IVFPQ_SCHEMA)  # bf-only catalog
     else:
@@ -1428,8 +1550,7 @@ def ann_topk_ivfpq(
             "segment_id", "dim", "pq_dim", "pq_bits", "codebook"
         )
         sel = sel.join(pqmeta, "segment_id")
-        if fblobs is not None:
-            sel = sel.join(fblobs, "segment_id")
+        sel = _attach_aux(sel, fblobs, tblobs)
 
     def adc(it):
         q64 = qn.astype(np.float64)
@@ -1446,10 +1567,7 @@ def ann_topk_ivfpq(
                 qsub = q64.reshape(pq_dim, sub)
                 lut = ((books.astype(np.float64) - qsub[:, None, :]) ** 2).sum(2)
                 approx = lut[np.arange(pq_dim)[None, :], codes].sum(1)
-                acc = _accept_mask(
-                    ids, allowed if allowed is not None else _blob_allowed(pdf, r),
-                    tomb,
-                )
+                acc = _row_accept(pdf, r, ids, allowed, tomb)
                 ok = np.arange(ids.size) if acc is None else np.flatnonzero(acc)
                 if budget is not None:
                     ok = ok[:budget]  # visitedLimit per leaf
@@ -1490,24 +1608,40 @@ def ann_topk_ivfpq(
         .applyInPandas(rerank, TOPK_SCHEMA)
     )
     # B2 degradation ladder: index-less segments are brute-forced from flat
-    bf_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
-        "bf_fallback_segments"
-    )
-    if bf_segs is None:
-        # pre-v2 index without the manifest list: derive it with an anti-join
-        # (same fallback derivation as ann_topk — never silently empty)
-        ivf_seg_df = (
-            cat.read(spark, "ann_ivf")
-            .filter(F.col("list_id") == -1)
-            .select("segment_id")
+    if not (_derived_in_sync(cat, "ann_ivfpq") and _derived_in_sync(cat, "ann_pq")):
+        # a crash between the group-wise merge's per-table appends can leave
+        # a segment in ann_flat/ann_ivf with no ann_ivfpq (or ann_pq) rows —
+        # neither ADC-scanned nor in bf_fallback_segments. Derive the TRUE
+        # covered set with an anti-join so those segments are brute-forced
+        # (reachability contract: every vector reachable in every mode).
+        covered = (
+            cat.read(spark, "ann_ivfpq").select("segment_id")
+            .join(
+                cat.read(spark, "ann_pq").select("segment_id").distinct(),
+                "segment_id", "left_semi",
+            )
+            .distinct()
         )
-        bf_missing = flat.join(ivf_seg_df, "segment_id", "left_anti")
-    elif bf_segs:
-        bf_missing = flat.filter(
-            F.col("segment_id").isin([int(s) for s in bf_segs])
-        )
+        bf_missing = flat.join(covered, "segment_id", "left_anti")
     else:
-        bf_missing = None
+        bf_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
+            "bf_fallback_segments"
+        )
+        if bf_segs is None:
+            # pre-v2 index without the manifest list: derive with an anti-join
+            # (same fallback derivation as ann_topk — never silently empty)
+            ivf_seg_df = (
+                cat.read(spark, "ann_ivf")
+                .filter(F.col("list_id") == -1)
+                .select("segment_id")
+            )
+            bf_missing = flat.join(ivf_seg_df, "segment_id", "left_anti")
+        elif bf_segs:
+            bf_missing = flat.filter(
+                F.col("segment_id").isin([int(s) for s in bf_segs])
+            )
+        else:
+            bf_missing = None
     if bf_missing is not None:
 
         def scan_bf(it):
@@ -1515,11 +1649,7 @@ def ann_topk_ivfpq(
                 for r in pdf.itertuples():
                     x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
                     ids = np.frombuffer(r.ext_ids, np.int64)
-                    acc = _accept_mask(
-                        ids,
-                        allowed if allowed is not None else _blob_allowed(pdf, r),
-                        tomb,
-                    )
+                    acc = _row_accept(pdf, r, ids, allowed, tomb)
                     if acc is not None:
                         ids, x = ids[acc], x[acc]
                     if ids.size == 0:
@@ -1662,7 +1792,7 @@ def merge_ann(
     if tombstone_ext_ids:
         # registered + explicit UNION; auto_merge off — we ARE the merge
         delete_ann(spark, cat, tombstone_ext_ids, cfg, auto_merge=False)
-    tomb = _ann_tombstones(spark, cat)
+    tomb, tblobs = _resolve_tombstones(spark, cat)
 
     # segment-level metadata (∝ segment count, same scale budget as the
     # text merge's segment_stats collect — never the blobs)
@@ -1676,6 +1806,20 @@ def merge_ann(
     groups = [g for g in groups if g]
     if not groups:
         return {}
+    # groups must partition their segments: a segment in two groups would
+    # silently land in the LATER group (dict overwrite) while the recorded
+    # merged_from lineage claimed both — corrupt bookkeeping, so refuse
+    seen: set[int] = set()
+    for g in groups:
+        if len(set(g)) != len(g) or seen.intersection(g):
+            dup = sorted(
+                {s for s in g if g.count(s) > 1} | (seen.intersection(g))
+            )
+            raise ValueError(
+                f"merge_ann groups overlap on segment ids {dup}: groups "
+                "must be disjoint (one output range per segment)"
+            )
+        seen.update(g)
     gkey_of = {s: gi for gi, g in enumerate(groups) for s in g}
     merged_segs = sorted(gkey_of)
     gmap = spark.createDataFrame(
@@ -1684,13 +1828,17 @@ def merge_ann(
 
     def explode_flat(it):
         # distributed un-packing of the merging segments' flat blobs — the
-        # MergedVectorValues concatenation, delete-filtered (M2/M5)
+        # MergedVectorValues concatenation, delete-filtered (M2/M5; the
+        # tombstone set arrives as a closure array when small or as the
+        # per-segment 'tomb' blob column when large — never a driver array
+        # whose size grows with the delete count)
         for pdf in it:
             for r in pdf.itertuples():
                 ids = np.frombuffer(r.ext_ids, np.int64)
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n_vecs, r.dim)
-                if tomb is not None and tomb.size:
-                    keep = ~_member_mask(ids, tomb)
+                t = tomb if tomb is not None else _blob_tomb(pdf, r)
+                if t is not None and t.size:
+                    keep = ~_member_mask(ids, t)
                     ids, x = ids[keep], x[keep]
                 if ids.size == 0:
                     continue  # fully-deleted segment: nothing to carry over
@@ -1700,11 +1848,15 @@ def merge_ann(
 
     # pushed isin prunes untouched segments at the parquet scan; the
     # broadcast join only attaches the gkey
-    rows = (
+    merging = (
         cat.read(spark, "ann_flat")
         .filter(F.col("segment_id").isin(merged_segs))
         .join(F.broadcast(gmap), "segment_id")
-        .mapInPandas(explode_flat, "gkey long, ext_id long, vector array<float>")
+    )
+    if tblobs is not None:
+        merging = merging.join(tblobs, "segment_id", "left")
+    rows = merging.mapInPandas(
+        explode_flat, "gkey long, ext_id long, vector array<float>"
     )
     # new doc order: ext_id asc per group (the frozen index sort), dense
     # ids via the range-partitioned rank — no single-partition window
@@ -1832,7 +1984,7 @@ def merge_ann(
 
     # tombstones whose rows were physically dropped here clear out; those
     # referencing untouched segments stay live (per-segment liveDocs)
-    if tomb is not None and cat.exists("ann_tombstones"):
+    if (tomb is not None or tblobs is not None) and cat.exists("ann_tombstones"):
         live_ids = _ann_ids(spark, cat)
         remaining = (
             cat.read(spark, "ann_tombstones")
@@ -1994,7 +2146,7 @@ def knn_join_ivf(
             ivf_seg = set()
         bf_segs = sorted(flat_seg - ivf_seg)
     bf_segs = [int(s) for s in bf_segs]
-    tomb = _ann_tombstones(spark, cat)
+    tomb, tblobs = _resolve_tombstones(spark, cat)
     allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
     fixed_nprobe = nprobe
 
@@ -2152,10 +2304,9 @@ def knn_join_ivf(
             )
         )
         lists = flat_lists if lists is None else lists.unionByName(flat_lists)
-    if fblobs is not None:
-        # blob-tier filter rides the list rows; segments with no allowed id
-        # are pruned from the join entirely (inner join)
-        lists = lists.join(fblobs, "segment_id")
+    # blob tiers ride the list rows; segments with no allowed id are
+    # pruned from the join entirely (inner), tombstones LEFT-join
+    lists = _attach_aux(lists, fblobs, tblobs)
     sel = lists.join(bundle, ["segment_id", "list_id"])
 
     def score(it):
@@ -2164,10 +2315,7 @@ def knn_join_ivf(
                 dim = len(r.qs[0]["q_vec"])
                 x = np.frombuffer(r.vectors, np.float32).reshape(r.n, dim)
                 ids = np.frombuffer(r.ext_ids, np.int64)
-                acc = _accept_mask(
-                    ids, allowed if allowed is not None else _blob_allowed(pdf, r),
-                    tomb,
-                )
+                acc = _row_accept(pdf, r, ids, allowed, tomb)
                 if acc is not None:
                     if not acc.any():
                         continue

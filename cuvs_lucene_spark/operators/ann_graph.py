@@ -504,12 +504,12 @@ def ann_topk_graph(
       in graph mode, like ann_topk's B2 fallback ladder."""
     cfg = cfg or IndexConfig()
     from cuvs_lucene_spark.operators.ann import (
-        _accept_mask,
-        _ann_tombstones,
-        _blob_allowed,
+        _attach_aux,
         _nav_query,
         _nav_vectors,
         _resolve_filter,
+        _resolve_tombstones,
+        _row_accept,
         _scores,
     )
 
@@ -520,7 +520,7 @@ def ann_topk_graph(
         return spark.createDataFrame([], "ext_id long, score double")
     eff = ef or max(k + cfg.overfetch, 64)
     allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
-    tomb = _ann_tombstones(spark, cat)
+    tomb, tblobs = _resolve_tombstones(spark, cat)
 
     def scan(key, gp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
@@ -537,9 +537,7 @@ def ann_topk_graph(
         # were built there); identical to raw for l2
         x = _nav_vectors(x_raw, metric)
         ids = np.frombuffer(fr["ext_ids"], np.int64)
-        accept = _accept_mask(
-            ids, allowed if allowed is not None else _blob_allowed(fp, fr), tomb
-        )
+        accept = _row_accept(fp, fr, ids, allowed, tomb)
         seg = int(fr["segment_id"])
         if gp.empty:
             # B2 fallback: no graph row (segment above the NN_DESCENT
@@ -605,9 +603,7 @@ def ann_topk_graph(
             }
         )
 
-    flat = cat.read(spark, "ann_flat")
-    if fblobs is not None:
-        flat = flat.join(fblobs, "segment_id")  # blob tier rides the flat side
+    flat = _attach_aux(cat.read(spark, "ann_flat"), fblobs, tblobs)
     partials = (
         cat.read(spark, "ann_graph", merge_schema=True)
         .groupby("segment_id")
