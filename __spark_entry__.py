@@ -141,6 +141,28 @@ def _ann_cos_index(spark: SparkSession, sf_dir: str):
     return cat
 
 
+def _ann_nnd_index(spark: SparkSession, sf_dir: str):
+    """Graph sidecar built through the NN-DESCENT branch for EVERY segment
+    (``exact_knn_max=0`` forces the seeded RP-forest + NN-descent builder
+    regardless of segment size — the approximate build algo the reference
+    defaults to, ``CagraIndexParamsFactory.java:149-167``), so the
+    driver's scoreboard exercises the production big-segment build path,
+    not just the exact-graph crossover below it."""
+    key = (sf_dir, "annnnd1")
+    if key in _CATS:
+        return _CATS[key]
+    cat = build_ann(
+        spark, _embs(spark, sf_dir), _root(sf_dir, "annnnd1"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=ANN_RPS,
+    )
+    if not cat.stage_done("ann_graph"):
+        from cuvs_lucene_spark.operators.ann_graph import build_ann_graph
+
+        build_ann_graph(spark, cat, CFG, exact_knn_max=0)
+    _CATS[key] = cat
+    return cat
+
+
 def _annmf_index(spark: SparkSession, sf_dir: str):
     """Two-vector-field index (per-field sidecars): field 'embedding' plus
     a coordinate-reversed twin 'emb_rev' — L2 is permutation-invariant, so
@@ -329,6 +351,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).ann_topk_graph(s, _ann_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG)
         .select(F.col("ext_id").alias("vec_id")),
         ann_topk(s, _ann_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
+                 cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
+    )
+    # NN-DESCENT-built graph at every segment (the reference's default
+    # approximate build algo, forced via exact_knn_max=0) searched with
+    # the recall-escalation knob (auto_ef doubles ef until the top-k is
+    # stable) — containment vs the exact top-3k, the randomized-suite
+    # criterion (TestCuVSRandomizedVectorSearch.java:112-175)
+    q["ann_graph_nnd"] = lambda s, d: _contain(
+        __import__(
+            "cuvs_lucene_spark.operators.ann_graph", fromlist=["ann_topk_graph"]
+        ).ann_topk_graph(
+            s, _ann_nnd_index(s, d), _qvec(s, d, 7), k=10, cfg=CFG, auto_ef=True
+        ).select(F.col("ext_id").alias("vec_id")),
+        ann_topk(s, _ann_nnd_index(s, d), _qvec(s, d, 7), k=30, metric="l2",
                  cfg=CFG, mode="exact").select(F.col("ext_id").alias("vec_id")),
     )
     # combined IVF-PQ: probed COMPRESSED lists (ADC over pq codes of the
@@ -532,6 +568,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["knn_join_filtered"] = _knn_join_filtered_contained
+
+    # BATCH ANN top-k — the vector twin of bm25_batch: 32 queries through
+    # the bucketed join on the SHUFFLE probe tier (fragment-and-replicate:
+    # neither all-centroids nor all-queries on one node — the
+    # many-segments × many-queries batch-inference cell), k=10 each,
+    # per-query containment vs the exact widened top-3k
+    def _ann_batch_contained(s, d):
+        qdf = _embs(s, d).filter(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        eng = knn_join_ivf(s, _ann_index(s, d), qdf, k=10, probe_mode="shuffle")
+        exact = knn_join(qdf, _embs(s, d), k=30, metric="l2")
+        flagged = eng.select("q_id", "vec_id").join(
+            exact.select("q_id", "vec_id").withColumn("inx", F.lit(1)),
+            ["q_id", "vec_id"],
+            "left",
+        )
+        return flagged.groupBy("q_id").agg(
+            F.count("*").cast("long").alias("n_returned"),
+            F.count("inx").cast("long").alias("n_contained"),
+        )
+
+    q["ann_batch"] = _ann_batch_contained
     # binary-quantized hamming path — FULL oracle: the per-segment mean
     # centroid, sign bits, and hamming distance are all reproducible in SQL
     q["ann_bq_hamming"] = lambda s, d: __import__(
@@ -786,6 +845,7 @@ SELECT CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_returne
        CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_contained
 """.strip()
     o["ann_ivf_l2"] = _contain10
+    o["ann_graph_nnd"] = _contain10
     o["ann_ivfpq_l2"] = _contain10
     o["ann_sq_l2"] = _contain10
     o["ann_graph_l2"] = _contain10
@@ -808,6 +868,10 @@ FROM embeddings WHERE vec_id < 20
 """.strip()
     o["knn_join_ivf_cosine"] = o["knn_join_ivf"]
     o["knn_join_filtered"] = o["knn_join_ivf"]
+    o["ann_batch"] = """
+SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_returned, CAST(10 AS BIGINT) AS n_contained
+FROM embeddings WHERE vec_id < 32
+""".strip()
     # full BQ oracle: per-segment (vec_id // ANN_RPS) double-precision mean
     # centroid → sign bits for every vector AND for the query (per segment)
     # → hamming → top-10 by (hamming asc, vec_id asc) — bit-for-bit the

@@ -2110,11 +2110,22 @@ def knn_join_ivf(
     - ``distributed`` — the query side is packed into batch rows
       (:func:`_pack_query_batches`) and broadcast against the pruned
       ``list_id = -1`` centroid scan; ranking runs next to the scan. NO
-      state anywhere grows with segment count — the 10⁶-segment path
-      (the reference's per-leaf search state never lives on one node,
-      ``CuVS2510GPUVectorsReader.search:398-523`` is per-segment).
+      state anywhere grows with segment count, but the packed query
+      matrix must fit one broadcast — the many-segments × FEW-queries
+      cell.
+    - ``shuffle`` — fragment-and-replicate: centroid rows are hashed into
+      ``R = spark.sql.shuffle.partitions`` buckets, each packed query
+      chunk is replicated once per bucket, and the two sides meet in a
+      shuffled equi-join on the bucket key. Per-task memory is one
+      centroid fragment (∝ centroids / R) plus a streamed query chunk —
+      NEITHER all-centroids NOR all-queries ever sits on one node, and
+      nothing is broadcast or collected. The 10⁸-queries × 10⁶-segments
+      batch-inference cell (the reference's per-leaf search state never
+      lives on one node, ``CuVS2510GPUVectorsReader.search:398-523`` is
+      per-segment; the probe work is inherently queries × segments, this
+      tier just transports it without a global materialization).
     - ``auto`` — ``driver`` while the build-time segment count is at most
-      ``PROBE_DRIVER_MAX_SEGMENTS``, else ``distributed``.
+      ``PROBE_DRIVER_MAX_SEGMENTS``, else ``shuffle`` (safe on both axes).
 
     Approximate (probe recall), validated by containment against the exact
     oracle like the reference's randomized search tests."""
@@ -2122,11 +2133,12 @@ def knn_join_ivf(
     ivf = cat.read(spark, "ann_ivf") if cat.exists("ann_ivf") else None
     stage = cat.read_manifest()["stages"].get("ann_ivf", {})
     n_segs = stage.get("n_ivf_segments")
-    distributed = probe_mode == "distributed" or (
+    shuffle = probe_mode == "shuffle" or (
         probe_mode == "auto"
         and n_segs is not None
         and n_segs > PROBE_DRIVER_MAX_SEGMENTS
     )
+    distributed = probe_mode == "distributed" or shuffle
     # B2 degradation ladder: segments too small for an IVF index are
     # brute-forced — every query probes them as one pseudo-list (-2), so
     # their vectors are reachable exactly like ann_topk's bf fallback
@@ -2170,8 +2182,28 @@ def knn_join_ivf(
 
     if distributed and ivf is not None:
         # probe ranking runs NEXT TO the pruned centroid scan; the query
-        # pack is broadcast (executor-side), never collected to the driver
+        # pack is never collected to the driver — it arrives either as a
+        # broadcast (distributed tier) or through the bucketed
+        # fragment-and-replicate join (shuffle tier)
         qpack = _pack_query_batches(q)
+        if shuffle:
+            n_bkt = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+            salt = F.array(*[F.lit(i) for i in range(n_bkt)])
+            qpack = qpack.withColumn("rbkt", F.explode(salt))
+
+        def _meet_queries(scan_df: DataFrame) -> DataFrame:
+            """Pair every scan row with every query chunk. Shuffle tier:
+            equi-join on the salt bucket — the scan side fragments by
+            hash(segment_id), the chunk side is replicated per bucket, a
+            shuffled hash join streams the chunks past each fragment
+            (build side = the bounded fragment, hinted). Distributed
+            tier: one executor-side broadcast of the whole pack."""
+            if shuffle:
+                frag = scan_df.withColumn(
+                    "rbkt", F.pmod(F.hash("segment_id"), F.lit(n_bkt))
+                )
+                return frag.hint("shuffle_hash").join(qpack, "rbkt")
+            return scan_df.crossJoin(F.broadcast(qpack))
 
         def probe_dist(it):
             for pdf in it:
@@ -2201,12 +2233,10 @@ def knn_join_ivf(
                         }
                     )
 
-        pairs = (
+        pairs = _meet_queries(
             ivf.filter(F.col("list_id") == -1)
             .select("segment_id", "n", "ext_ids", "vectors")
-            .crossJoin(F.broadcast(qpack))
-            .mapInPandas(probe_dist, PAIR_SCHEMA)
-        )
+        ).mapInPandas(probe_dist, PAIR_SCHEMA)
         if bf_segs:
 
             def bf_dist(it):
@@ -2229,7 +2259,7 @@ def knn_join_ivf(
                 [(int(s),) for s in bf_segs], "segment_id long"
             )
             pairs = pairs.unionByName(
-                bf_df.crossJoin(F.broadcast(qpack)).mapInPandas(bf_dist, PAIR_SCHEMA)
+                _meet_queries(bf_df).mapInPandas(bf_dist, PAIR_SCHEMA)
             )
     else:
         crows = _centroid_rows(spark, cat) if ivf is not None else []

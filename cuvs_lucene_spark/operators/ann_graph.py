@@ -243,18 +243,24 @@ _NND_MAX_REFINE = 3  # cap on gather-bound descent rounds after the RP init
 
 
 def _knn_graph(
-    x: np.ndarray, degree: int, iters: int = 20, seed: int = 42
+    x: np.ndarray, degree: int, iters: int = 20, seed: int = 42,
+    exact_max: int | None = None,
 ) -> list[np.ndarray]:
     """kNN adjacency with the size-based algorithm switch: exact for small
     segments (faster below the crossover, BENCH.md), RP-forest +
-    NN-descent refinement above."""
-    if x.shape[0] <= EXACT_KNN_MAX:
+    NN-descent refinement above. ``exact_max`` overrides the crossover
+    (0 forces the NN-descent branch for every size — used by tests and
+    the driver's ``ann_graph_nnd`` row; the override is a closure VALUE,
+    so it reaches executor workers, unlike a monkeypatched module
+    global)."""
+    cap = EXACT_KNN_MAX if exact_max is None else int(exact_max)
+    if x.shape[0] <= cap:
         return _exact_knn_graph(x, degree)
     return _nn_descent_graph(x, degree, iters, seed)
 
 
 def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None,
-                metric: str = "l2"):
+                metric: str = "l2", exact_knn_max: int | None = None):
     """Per-segment graph rows from flat blobs (shared by the batch build
     and the streaming epoch append). One row per (segment, layer): layer 0
     is the full kNN graph; layers ≥ 1 are deterministic 1/M stride samples
@@ -299,7 +305,9 @@ def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None,
                         }
                     )
                     continue
-                offs, blob = _encode_adjacency(_knn_graph(x, deg, nnd_iters, seed))
+                offs, blob = _encode_adjacency(
+                    _knn_graph(x, deg, nnd_iters, seed, exact_knn_max)
+                )
                 yield pd.DataFrame(
                     {
                         "segment_id": [r.segment_id],
@@ -321,7 +329,10 @@ def _graph_rows(flat_df, cfg: IndexConfig, degree: int | None = None,
                         break
                     sub = x[sample]
                     offs, blob = _encode_adjacency(
-                        _knn_graph(sub, min(deg, sample.size - 1), nnd_iters, seed)
+                        _knn_graph(
+                            sub, min(deg, sample.size - 1), nnd_iters, seed,
+                            exact_knn_max,
+                        )
                     )
                     yield pd.DataFrame(
                         {
@@ -344,6 +355,7 @@ def build_ann_graph(
     cat: IndexCatalog,
     cfg: IndexConfig | None = None,
     degree: int | None = None,
+    exact_knn_max: int | None = None,
 ) -> None:
     """Build the per-segment graph sidecar from ``ann_flat``.
 
@@ -354,7 +366,10 @@ def build_ann_graph(
     cfg = cfg or IndexConfig()
     metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
     cat.write(
-        _graph_rows(cat.read(spark, "ann_flat"), cfg, degree, metric), "ann_graph"
+        _graph_rows(
+            cat.read(spark, "ann_flat"), cfg, degree, metric, exact_knn_max
+        ),
+        "ann_graph",
     )
     cat.mark_stage("ann_graph")
 
@@ -487,10 +502,19 @@ def ann_topk_graph(
     filter_ext_ids=None,
     visited_limit: int | None = None,
     filter_mode: str = "auto",
+    auto_ef: bool = False,
 ) -> DataFrame:
     """Graph top-k under the index's build metric (l2 or cosine):
     per-segment greedy beam → global top-k.
     ``ef`` defaults to ``max(k + overfetch, 64)`` (iTopK ≥ topK, O5).
+
+    ``auto_ef=True`` — recall-over-latency mode: the beam re-runs with a
+    doubled ``ef`` until the returned top-k id set is STABLE between two
+    consecutive widths (≤ 3 doublings, so worst case 8·ef). The
+    escalation decision reads only the k result ids driver-side; the
+    stable run's rows are returned. This is the knob for workloads where
+    a recall miss costs more than an extra pass (the reference tunes the
+    same trade through GPUSearchParams iTopK/searchWidth).
 
     - ``filter_ext_ids`` + ANN tombstones apply as acceptDocs in the
       collector: the beam navigates the full graph, only accepted nodes
@@ -522,96 +546,119 @@ def ann_topk_graph(
     allowed, fblobs = _resolve_filter(spark, cat, filter_ext_ids, filter_mode)
     tomb, tblobs = _resolve_tombstones(spark, cat)
 
-    def scan(key, gp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
-            {"segment_id": "int64", "ext_id": "int64", "score": "float64"}
-        )
-        if fp.empty:
-            return empty
-        fr = fp.iloc[0]
-        n = int(fr["n_vecs"])
-        if n == 0:
-            return empty
-        x_raw = np.frombuffer(fr["vectors"], np.float32).reshape(n, -1)
-        # navigation space: unit vectors for cosine indexes (graph edges
-        # were built there); identical to raw for l2
-        x = _nav_vectors(x_raw, metric)
-        ids = np.frombuffer(fr["ext_ids"], np.int64)
-        accept = _row_accept(fp, fr, ids, allowed, tomb)
-        seg = int(fr["segment_id"])
-        if gp.empty:
-            # B2 fallback: no graph row (segment above the NN_DESCENT
-            # threshold) → exact scan of the flat blob, accept-filtered
-            ok = np.arange(n) if accept is None else np.flatnonzero(accept)
-            if ok.size == 0:
+    def make_scan(eff):
+        def scan(key, gp: pd.DataFrame, fp: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"segment_id": [], "ext_id": [], "score": []}).astype(
+                {"segment_id": "int64", "ext_id": "int64", "score": "float64"}
+            )
+            if fp.empty:
                 return empty
-            s = _scores(x_raw[ok], q, metric)
-            sel = np.lexsort((ids[ok], -s))[:k]
-            return pd.DataFrame(
-                {"segment_id": seg, "ext_id": ids[ok][sel], "score": s[sel]}
-            )
-        if "layer" not in gp.columns:  # pre-multilayer graph tables
-            gp = gp.assign(layer=0, stride=1)
-        else:
-            # mixed old/new snapshots (merge-schema read): pre-upgrade rows
-            # surface layer/stride as NULL — they ARE base-layer rows
-            gp = gp.assign(
-                layer=gp["layer"].fillna(0), stride=gp["stride"].fillna(1)
-            )
-        base_rows = gp[gp["layer"] == 0]
-        if base_rows.empty:
-            return empty
-        g = base_rows.iloc[0]
-        if n == 1:
-            if accept is not None and not accept[0]:
+            fr = fp.iloc[0]
+            n = int(fr["n_vecs"])
+            if n == 0:
                 return empty
+            x_raw = np.frombuffer(fr["vectors"], np.float32).reshape(n, -1)
+            # navigation space: unit vectors for cosine indexes (graph edges
+            # were built there); identical to raw for l2
+            x = _nav_vectors(x_raw, metric)
+            ids = np.frombuffer(fr["ext_ids"], np.int64)
+            accept = _row_accept(fp, fr, ids, allowed, tomb)
+            seg = int(fr["segment_id"])
+            if gp.empty:
+                # B2 fallback: no graph row (segment above the NN_DESCENT
+                # threshold) → exact scan of the flat blob, accept-filtered
+                ok = np.arange(n) if accept is None else np.flatnonzero(accept)
+                if ok.size == 0:
+                    return empty
+                s = _scores(x_raw[ok], q, metric)
+                sel = np.lexsort((ids[ok], -s))[:k]
+                return pd.DataFrame(
+                    {"segment_id": seg, "ext_id": ids[ok][sel], "score": s[sel]}
+                )
+            if "layer" not in gp.columns:  # pre-multilayer graph tables
+                gp = gp.assign(layer=0, stride=1)
+            else:
+                # mixed old/new snapshots (merge-schema read): pre-upgrade rows
+                # surface layer/stride as NULL — they ARE base-layer rows
+                gp = gp.assign(
+                    layer=gp["layer"].fillna(0), stride=gp["stride"].fillna(1)
+                )
+            base_rows = gp[gp["layer"] == 0]
+            if base_rows.empty:
+                return empty
+            g = base_rows.iloc[0]
+            if n == 1:
+                if accept is not None and not accept[0]:
+                    return empty
+                return pd.DataFrame(
+                    {"segment_id": [seg], "ext_id": [int(ids[0])],
+                     "score": [float(_scores(x_raw[:1], q, metric)[0])]}
+                )
+            # multi-layer entry descent (top layer first): each layer's beam
+            # seeds the next with its best nodes mapped through the stride —
+            # O(log n) entry for big segments instead of the √n sweep
+            seeds = None
+            uppers = gp[gp["layer"] > 0].sort_values("layer", ascending=False)
+            for _, u in uppers.iterrows():
+                s = int(u["stride"])
+                sample = np.arange(int(u["n_nodes"]), dtype=np.int64) * s
+                u_off = np.frombuffer(u["offsets"], "<u8")
+                loc, _d, _e = _beam_search(
+                    x[sample], q_nav, u_off, bytes(u["graph"]), k=4, ef=8,
+                    seed_nodes=None if seeds is None else seeds // s,
+                )
+                seeds = sample[loc]  # base-space ids, divisible by lower strides
+            offsets = np.frombuffer(g["offsets"], "<u8")
+            nodes, d2, _early = _beam_search(
+                x, q_nav, offsets, bytes(g["graph"]), k, eff,
+                accept=accept, visited_limit=visited_limit, seed_nodes=seeds,
+            )
+            if metric == "l2":
+                score = 1.0 / (1.0 + d2)  # S5 normalization (d2 exact: nav==raw)
+            else:
+                # beam ORDER is cosine order (unit space); rescore the k
+                # survivors exactly from raw flat so returned scores are true
+                # cosine, not a unit-space distance transform
+                score = _scores(x_raw[nodes], q, metric)
             return pd.DataFrame(
-                {"segment_id": [seg], "ext_id": [int(ids[0])],
-                 "score": [float(_scores(x_raw[:1], q, metric)[0])]}
+                {
+                    "segment_id": seg,
+                    "ext_id": ids[nodes],
+                    "score": score,
+                }
             )
-        # multi-layer entry descent (top layer first): each layer's beam
-        # seeds the next with its best nodes mapped through the stride —
-        # O(log n) entry for big segments instead of the √n sweep
-        seeds = None
-        uppers = gp[gp["layer"] > 0].sort_values("layer", ascending=False)
-        for _, u in uppers.iterrows():
-            s = int(u["stride"])
-            sample = np.arange(int(u["n_nodes"]), dtype=np.int64) * s
-            u_off = np.frombuffer(u["offsets"], "<u8")
-            loc, _d, _e = _beam_search(
-                x[sample], q_nav, u_off, bytes(u["graph"]), k=4, ef=8,
-                seed_nodes=None if seeds is None else seeds // s,
-            )
-            seeds = sample[loc]  # base-space ids, divisible by lower strides
-        offsets = np.frombuffer(g["offsets"], "<u8")
-        nodes, d2, _early = _beam_search(
-            x, q_nav, offsets, bytes(g["graph"]), k, eff,
-            accept=accept, visited_limit=visited_limit, seed_nodes=seeds,
-        )
-        if metric == "l2":
-            score = 1.0 / (1.0 + d2)  # S5 normalization (d2 exact: nav==raw)
-        else:
-            # beam ORDER is cosine order (unit space); rescore the k
-            # survivors exactly from raw flat so returned scores are true
-            # cosine, not a unit-space distance transform
-            score = _scores(x_raw[nodes], q, metric)
-        return pd.DataFrame(
-            {
-                "segment_id": seg,
-                "ext_id": ids[nodes],
-                "score": score,
-            }
-        )
+
+        return scan
 
     flat = _attach_aux(cat.read(spark, "ann_flat"), fblobs, tblobs)
-    partials = (
-        cat.read(spark, "ann_graph", merge_schema=True)
-        .groupby("segment_id")
-        .cogroup(flat.groupby("segment_id"))
-        .applyInPandas(scan, TOPK_SCHEMA)
-    )
-    return (
-        partials.orderBy(F.desc("score"), F.asc("ext_id"))
-        .limit(k)
-        .select("ext_id", "score")
+    def _topk(eff):
+        partials = (
+            cat.read(spark, "ann_graph", merge_schema=True)
+            .groupby("segment_id")
+            .cogroup(flat.groupby("segment_id"))
+            .applyInPandas(make_scan(eff), TOPK_SCHEMA)
+        )
+        return (
+            partials.orderBy(F.desc("score"), F.asc("ext_id"))
+            .limit(k)
+            .select("ext_id", "score")
+        )
+
+    if not auto_ef:
+        return _topk(eff)
+    # recall escalation: double ef until the top-k id list is stable
+    # between consecutive widths (≤ 3 doublings); only k ids cross the
+    # driver per round, the stable run's rows are returned
+    rows = _topk(eff).collect()
+    ef_cur = eff
+    for _ in range(3):
+        ef_cur *= 2
+        nxt = _topk(ef_cur).collect()
+        stable = [r["ext_id"] for r in nxt] == [r["ext_id"] for r in rows]
+        rows = nxt
+        if stable:
+            break
+    return spark.createDataFrame(
+        [(int(r["ext_id"]), float(r["score"])) for r in rows],
+        "ext_id long, score double",
     )

@@ -427,39 +427,107 @@ def rewrite_segdata(spark: SparkSession, cat: IndexCatalog) -> None:
     cat.define_views(SEGDATA_VIEWS, "segdata")
 
 
+def tier_groups(
+    sizes: list[tuple[int, int]],
+    fanin: int,
+    cap: int,
+    size_ratio_bound: float = 10.0,
+    deleted_frac: dict[int, float] | None = None,
+    deletes_pct_allowed: float = 0.2,
+) -> list[list[int]]:
+    """PURE tiered-merge group selection (the decision core of
+    :func:`pick_merge_groups`, factored out so its invariants are
+    hypothesis-testable without Spark). ``sizes`` = (live_docs,
+    segment_id) pairs. Lucene ``TieredMergePolicy`` invariants pinned by
+    tests/test_merge_policy.py:
+
+    - a segment joins at most ONE group per round (never merged twice);
+    - every group has 2..``fanin`` members;
+    - groups are size-comparable: within a group, live size spans at most
+      ``size_ratio_bound``× the group's smallest member (merging a tiny
+      flush segment into a near-cap one wastes a full rewrite of the big
+      side — Lucene scores such merges out via skew);
+    - segments at/above ``cap`` are settled and never selected — UNLESS
+      their deleted fraction exceeds ``deletes_pct_allowed``
+      (deletesPctAllowed pressure: reclaiming dead docs outranks size);
+    - deterministic: sorted inputs, stable tie-breaks by segment id.
+    """
+    deleted_frac = deleted_frac or {}
+    eligible = sorted(
+        (max(1, int(n)), int(s))
+        for n, s in sizes
+        if n < cap or deleted_frac.get(int(s), 0.0) > deletes_pct_allowed
+    )
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_min = 0
+    for n, s in eligible:
+        if cur and (len(cur) >= fanin or n > size_ratio_bound * cur_min):
+            if len(cur) >= 2:
+                groups.append(cur)
+            cur, cur_min = [], 0
+        if not cur:
+            cur_min = n
+        cur.append(s)
+    if len(cur) >= 2:
+        groups.append(cur)
+    return groups
+
+
 def pick_merge_groups(
     spark: SparkSession,
     cat: IndexCatalog,
     cfg: IndexConfig | None = None,
     max_segment_docs: int | None = None,
+    size_ratio_bound: float = 10.0,
+    deletes_pct_allowed: float = 0.2,
 ) -> list[list[int]]:
     """Tiered merge policy (the host Lucene ``TieredMergePolicy`` the
     reference's tests run under, ``TestMerge.java:252-254``): group the
-    SMALLEST segments first, ``merge_fanin`` per group, skipping segments
-    already at/above ``max_segment_docs`` (default ``cfg.rows_per_segment``)
-    and never forming single-segment groups. Background compaction then
-    merges many small flush/streaming segments without ever touching the
-    big settled ones — pair with :func:`merge_segments`::
+    SMALLEST size-comparable segments first, ``merge_fanin`` per group,
+    skipping segments already at/above ``max_segment_docs`` (default
+    ``cfg.rows_per_segment``) unless their deleted fraction exceeds
+    ``deletes_pct_allowed`` (delete pressure reclaims dead docs from
+    settled segments), and never forming single-segment or
+    size-skewed (> ``size_ratio_bound``×) groups. Background compaction
+    then merges many small flush/streaming segments without ever touching
+    the big settled ones — pair with :func:`merge_segments`::
 
         groups = pick_merge_groups(spark, cat, cfg)
         if groups:
             merge_segments(spark, cat, cfg, groups=groups)
+
+    Inputs are segment-level METADATA only (one segment_stats collect +
+    one per-segment tombstone count aggregate — ∝ segment count, never
+    doc blobs); the decision core is :func:`tier_groups`.
     """
     cfg = cfg or IndexConfig()
     cap = max_segment_docs or cfg.rows_per_segment
-    rows = sorted(
-        (
-            (int(r["n_docs"]), int(r["segment_id"]))
-            for r in cat.read(spark, "segment_stats").collect()
-        ),
+    rows = [
+        (int(r["n_docs"]), int(r["segment_id"]))
+        for r in cat.read(spark, "segment_stats").collect()
+    ]
+    dfrac: dict[int, float] = {}
+    if cat.exists("tombstones") and cat.table_lineage("tombstones").get("n"):
+        n_of = {s: n for n, s in rows}
+        dead = (
+            cat.read(spark, "doc_map")
+            .join(cat.read(spark, "tombstones"), "ext_id", "left_semi")
+            .groupBy("segment_id")
+            .agg(F.count("*").alias("n_dead"))
+            .collect()
+        )
+        for r in dead:
+            s = int(r["segment_id"])
+            dfrac[s] = float(r["n_dead"]) / max(1, n_of.get(s, 1))
+        # delete pressure operates on LIVE sizes (a 90%-dead big segment
+        # is really a small one)
+        rows = [
+            (max(0, n - int(round(dfrac.get(s, 0.0) * n))), s) for n, s in rows
+        ]
+    return tier_groups(
+        rows, cfg.merge_fanin, cap, size_ratio_bound, dfrac, deletes_pct_allowed
     )
-    small = [(n, s) for n, s in rows if n < cap]
-    groups: list[list[int]] = []
-    for i in range(0, len(small), cfg.merge_fanin):
-        chunk = [s for _, s in small[i : i + cfg.merge_fanin]]
-        if len(chunk) >= 2:
-            groups.append(chunk)
-    return groups
 
 
 def force_merge(spark: SparkSession, cat: IndexCatalog, cfg: IndexConfig | None = None) -> None:

@@ -210,6 +210,52 @@ def test_knn_join_ivf_distributed_probe_no_driver_collect(spark, tmp_path, monke
     assert got == want
 
 
+def test_knn_join_ivf_shuffle_tier_no_broadcast_no_collect(spark, tmp_path, monkeypatch):
+    """The many-segments × many-queries cell: probe_mode='shuffle' must
+    neither collect centroid state on the driver NOR broadcast a
+    DataFrame whose size grows with the query count. Poison both the
+    driver-pack helpers and F.broadcast itself, pin the plan (no
+    BroadcastExchange with auto-broadcast off), and assert the results
+    match the driver-ranked tier — bf-fallback pseudo-list included."""
+    import cuvs_lucene_spark.operators.ann as A
+
+    n = 301  # segments of 150/150/1 — the last is a bf-fallback pseudo-list
+    rows = [(i, [float(i % 13), float(i % 7), float(i % 5), 1.0] * 2) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cat = A.build_ann(
+        spark, df, str(tmp_path / "joinshuffle"), CFG,
+        id_col="vec_id", vector_col="embedding", rows_per_segment=150,
+    )
+    qdf = df.filter(F.col("vec_id").isin([0, 17, 300])).selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    want = sorted(
+        (r["q_id"], r["rank"], r["vec_id"], r["score"])
+        for r in A.knn_join_ivf(spark, cat, qdf, k=3, probe_mode="driver").collect()
+    )
+    boom = lambda *a, **k: (_ for _ in ()).throw(  # noqa: E731
+        AssertionError("driver/broadcast state on the shuffle join tier")
+    )
+    monkeypatch.setattr(A, "_centroid_rows", boom)
+    monkeypatch.setattr(A, "_centroid_pack", boom)
+    monkeypatch.setattr(A.F, "broadcast", boom)
+    got_df = A.knn_join_ivf(spark, cat, qdf, k=3, probe_mode="shuffle")
+    got = sorted(
+        (r["q_id"], r["rank"], r["vec_id"], r["score"]) for r in got_df.collect()
+    )
+    assert got == want
+    # with auto-broadcast disabled the shuffle tier's plan must hold no
+    # broadcast exchange at all — both probe joins are shuffled
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(A.knn_join_ivf(spark, cat, qdf, k=3, probe_mode="shuffle"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_probe_ladder_auto_switches_to_distributed(spark, tmp_path, monkeypatch):
     """Scale-shape regression: above PROBE_DRIVER_MAX_SEGMENTS the auto
     probe mode must leave the driver — for BOTH ann_topk and knn_join_ivf —
