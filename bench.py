@@ -151,6 +151,14 @@ def main():
     nres = timed("bm25_batch64", lambda: bm25_topk_batch(spark, cat, batch, cfg).count())
     extras["bm25_batch_qps"] = round(len(batch) / timings["bm25_batch64"], 2)
     extras["bm25_batch_rows"] = nres
+    # repeat batch on the hot-postings impact cache (built by the first
+    # run): zero table scans, per-run bytes = cached arrays only — the
+    # steady-state repeat-batch throughput a serving tier pays
+    nres_w = timed(
+        "bm25_batch64_warm", lambda: bm25_topk_batch(spark, cat, batch, cfg).count()
+    )
+    extras["bm25_batch_warm_qps"] = round(len(batch) / timings["bm25_batch64_warm"], 2)
+    assert nres_w == nres  # cache path is result-identical
 
     # --- delete + partial merge ---
     timed("delete_by_term", lambda: delete_by_term(spark, cat, "dup", cfg))
@@ -192,6 +200,13 @@ def main():
         "knn_join_ivf64_dist",
         lambda: knn_join_ivf(spark, acat, qdf, k=5, probe_mode="distributed").count(),
     )
+    # fragment-and-replicate tier (the many-segments × many-queries cell:
+    # nothing broadcast, nothing collected) + batch-ANN QPS headline
+    timed(
+        "knn_join_ivf64_shuffle",
+        lambda: knn_join_ivf(spark, acat, qdf, k=5, probe_mode="shuffle").count(),
+    )
+    extras["ann_batch_qps"] = round(64 / timings["knn_join_ivf64_shuffle"], 2)
     # DataFrame-filter tier: acceptDocs resolved executor-side from ann_ids
     fdf = embs.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("ext_id")

@@ -138,6 +138,113 @@ def _norms_broadcast(spark: SparkSession, cat: IndexCatalog):
     return bc
 
 
+HOT_POSTINGS_TOP_N = 512        # hottest terms eligible for the impact cache
+HOT_POSTINGS_MAX_BYTES = 64 << 20  # per-executor byte budget for the cache
+
+
+def _hot_postings_broadcast(spark: SparkSession, cat: IndexCatalog, cfg):
+    """Commit-versioned IMPACT CACHE for the hottest terms: per (term,
+    segment), the decoded doc ids (int32) and each doc's fully-evaluated
+    BM25 contribution (float64) — idf, tf and the length norm are all
+    FIXED at commit time, so the per-query work left is a fancy-indexed
+    add + top-k. Shipped once per executor as a broadcast (memoized per
+    manifest version, superseded snapshots unpersisted), byte-budgeted:
+    terms are admitted hottest-first until ``HOT_POSTINGS_MAX_BYTES`` and
+    a term is either fully cached (every segment) or not at all.
+
+    This is the block-cache attack on the DRAM-bound repeat-batch path:
+    without it every batch run re-reads the postings parquet, re-ships it
+    through Arrow and re-decodes varint blocks — bytes that dominate the
+    N→4N query-scaling measurement. With it, a batch whose terms are all
+    cached touches only the cache arrays (the same role Lucene's impact/
+    block caches and OS page cache play for a hot query set; at 100 TB
+    the byte budget keeps it to the head of the Zipf curve, which is
+    exactly where batch traffic concentrates). Returns (broadcast,
+    covered_terms frozenset) or (None, frozenset()) when unavailable."""
+    memo = getattr(cat, "_term_df_memo", None)
+    if not memo or not memo.get("df"):
+        warm_term_df_memo(spark, cat)
+        memo = getattr(cat, "_term_df_memo", None)
+        if not memo or not memo.get("df"):
+            return None, frozenset()
+    m = cat.read_manifest()
+    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
+    hp = getattr(cat, "_hotpost_memo", None)
+    if hp is not None and hp["ver"] == ver:
+        return hp["bc"], hp["terms"]
+    hot = [
+        t for t, _d in sorted(
+            memo["df"].items(), key=lambda kv: (-kv[1], kv[0])
+        )[:HOT_POSTINGS_TOP_N]
+        if _d > 0
+    ]
+    if not hot:
+        return None, frozenset()
+    n, avgdl = corpus_stats(spark, cat)
+    idf_hot = {t: idf(n, memo["df"][t]) for t in hot}
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    norms_bc = _norms_broadcast(spark, cat)
+
+    def precompute(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["term", "segment_id", "docs", "contrib"]
+        rows = []
+        if len(pdf):
+            seg = int(pdf["segment_id"].iloc[0])
+            blob = norms_bc.value.get(seg)
+            if blob is not None:
+                dls = np.frombuffer(blob[0], dtype=np.uint32).astype(np.float64)
+                norm_denom = k1 * (1.0 - b + b * dls / avgdl)
+                for t, p in _group_postings(pdf, set(idf_hot)).items():
+                    docs, tfs = _decode_term(p)
+                    tfs = tfs.astype(np.float64)
+                    contrib = (
+                        idf_hot[t] * tfs * (k1 + 1.0)
+                        / (tfs + norm_denom[docs])
+                    )
+                    rows.append(
+                        (t, seg, docs.astype(np.int32).tobytes(),
+                         contrib.tobytes())
+                    )
+        out = pd.DataFrame(rows, columns=cols)
+        return out.astype({"segment_id": "int64"}) if rows else out.astype(
+            {"term": "object", "segment_id": "int64",
+             "docs": "object", "contrib": "object"}
+        )
+
+    collected = (
+        _query_postings(spark, cat, hot, cfg)
+        .groupby("segment_id")
+        .applyInPandas(
+            precompute, "term string, segment_id long, docs binary, contrib binary"
+        )
+        .collect()
+    )
+    by_term: dict[str, dict[int, tuple[bytes, bytes]]] = {}
+    bytes_of: dict[str, int] = {}
+    for r in collected:
+        by_term.setdefault(r["term"], {})[int(r["segment_id"])] = (
+            bytes(r["docs"]), bytes(r["contrib"])
+        )
+        bytes_of[r["term"]] = bytes_of.get(r["term"], 0) + len(r["docs"]) + len(r["contrib"])
+    cache: dict[str, dict[int, tuple[bytes, bytes]]] = {}
+    budget = HOT_POSTINGS_MAX_BYTES
+    for t in hot:  # hottest-first admission, whole terms only
+        if t in by_term and bytes_of[t] <= budget:
+            cache[t] = by_term[t]
+            budget -= bytes_of[t]
+    if not cache:
+        return None, frozenset()
+    bc = spark.sparkContext.broadcast(cache)
+    if hp is not None:
+        try:
+            hp["bc"].unpersist()
+        except Exception:
+            pass
+    terms = frozenset(cache)
+    cat._hotpost_memo = {"ver": ver, "bc": bc, "terms": terms}
+    return bc, terms
+
+
 def _alive_mask(n_docs: int, tomb, allowed) -> np.ndarray:
     alive = np.ones(n_docs, dtype=bool)
     if tomb is not None and tomb.size:
@@ -357,12 +464,67 @@ def make_scorer(
     return score_segment
 
 
+def _score_batch_queries(
+    qspecs: dict[str, dict],
+    idf_by_term: dict[str, float],
+    term_post: dict[str, tuple[np.ndarray, np.ndarray]],
+    alive: np.ndarray,
+    ext_ids: np.ndarray,
+    n_docs: int,
+) -> tuple[list, list, list]:
+    """Per-segment batch scoring core shared by the scan path and the
+    impact-cache path: ``term_post`` maps term → (doc ids, per-doc BM25
+    contribution); each query is a fancy-indexed add of its terms'
+    contribution arrays + an exact tie-broken top-k."""
+    q_out: list[np.ndarray] = []
+    e_out: list[np.ndarray] = []
+    s_out: list[np.ndarray] = []
+    for qid, spec in qspecs.items():
+        terms = [t for t in dict.fromkeys(spec["terms"]) if t in idf_by_term]
+        mode = spec.get("mode", "or")
+        if mode == "and" and len(terms) < len(set(spec["terms"])):
+            continue
+        present = [t for t in terms if t in term_post]
+        if not present or (mode == "and" and len(present) < len(terms)):
+            continue
+        acc = np.zeros(n_docs, dtype=np.float64)
+        for t in present:
+            d, c = term_post[t]
+            acc[d] += c  # doc ids unique per term → plain fancy add
+        hit = (acc > 0) & alive
+        if mode == "and":
+            # int32: an int8 counter wraps at >127 query terms and the
+            # nh == len(present) test then silently matches nothing
+            nh = np.zeros(n_docs, dtype=np.int32)
+            for t in present:
+                nh[term_post[t][0]] += 1
+            hit &= nh == len(present)
+        idxs = np.flatnonzero(hit)
+        if idxs.size == 0:
+            continue
+        k = int(spec.get("k", 10))
+        if idxs.size > k:
+            # keep every doc tied at the k-th score so the (score desc,
+            # ext_id asc) tie-break below stays exact
+            vals = acc[idxs]
+            kth = -np.partition(-vals, k - 1)[k - 1]
+            idxs = idxs[vals >= kth]
+        sel = np.lexsort((ext_ids[idxs], -acc[idxs]))[:k]
+        idxs = idxs[sel]
+        q_out.append(np.full(idxs.size, qid, dtype=object))
+        e_out.append(ext_ids[idxs])
+        s_out.append(acc[idxs])
+    return q_out, e_out, s_out
+
+
 def make_batch_scorer(
     qspecs: dict[str, dict],
     idf_by_term: dict[str, float],
     avgdl: float,
     cfg: IndexConfig,
     norms_bc=None,
+    hot_bc=None,
+    cached_terms: frozenset = frozenset(),
 ):
     """Cogrouped UDF scoring MANY queries in one pass per segment.
 
@@ -375,7 +537,14 @@ def make_batch_scorer(
     numpy calls instead of a full pruning pass — per-(query, segment) work
     drops from ~ms to ~tens of µs, which is what the N→4N query-throughput
     scaling rides on. Scores accumulate term-by-term in float64 in the
-    same order as the single-query scorer (identical results)."""
+    same order as the single-query scorer (identical results).
+
+    HYBRID tier (``hot_bc``/``cached_terms`` set): the incoming postings
+    frame carries only the UNCACHED tail terms (plus one null-term marker
+    row per segment so segments whose every query term is cached still
+    form a group); the Zipf-head terms' (docs, contribution) arrays come
+    from the executor-local impact cache — the scan's byte volume shrinks
+    to the tail share."""
     k1, b = cfg.bm25.k1, cfg.bm25.b
 
     def score_segment(postings: pd.DataFrame, aux: pd.DataFrame | None) -> pd.DataFrame:
@@ -388,6 +557,8 @@ def make_batch_scorer(
         if postings.empty:
             return empty
         seg = int(postings["segment_id"].iloc[0])
+        if hot_bc is not None:
+            postings = postings[postings["term"].notna()]  # drop marker rows
         if aux is None:
             blob = norms_bc.value.get(seg)
             if blob is None:
@@ -414,50 +585,27 @@ def make_batch_scorer(
         # matrix through DRAM for every query (the memory-bandwidth wall
         # that capped N→4N query scaling)
         term_post: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for t, p in _group_postings(postings, set(idf_by_term)).items():
-            docs, tfs = _decode_term(p)
-            tfs = tfs.astype(np.float64)
-            contrib = idf_by_term[t] * tfs * (k1 + 1.0) / (tfs + norm_denom[docs])
-            term_post[t] = (docs, contrib)
+        if len(postings):
+            for t, p in _group_postings(postings, set(idf_by_term)).items():
+                docs, tfs = _decode_term(p)
+                tfs = tfs.astype(np.float64)
+                contrib = idf_by_term[t] * tfs * (k1 + 1.0) / (tfs + norm_denom[docs])
+                term_post[t] = (docs, contrib)
+        if hot_bc is not None:
+            c = hot_bc.value
+            for t in cached_terms:
+                ent = c.get(t, {}).get(seg)
+                if ent is not None and t not in term_post:
+                    term_post[t] = (
+                        np.frombuffer(ent[0], np.int32),
+                        np.frombuffer(ent[1], np.float64),
+                    )
+        if not term_post:
+            return empty
 
-        q_out: list[np.ndarray] = []
-        e_out: list[np.ndarray] = []
-        s_out: list[np.ndarray] = []
-        for qid, spec in qspecs.items():
-            terms = [t for t in dict.fromkeys(spec["terms"]) if t in idf_by_term]
-            mode = spec.get("mode", "or")
-            if mode == "and" and len(terms) < len(set(spec["terms"])):
-                continue
-            present = [t for t in terms if t in term_post]
-            if not present or (mode == "and" and len(present) < len(terms)):
-                continue
-            acc = np.zeros(n_docs, dtype=np.float64)
-            for t in present:
-                d, c = term_post[t]
-                acc[d] += c  # doc ids unique per term → plain fancy add
-            hit = (acc > 0) & alive
-            if mode == "and":
-                # int32: an int8 counter wraps at >127 query terms and the
-                # nh == len(present) test then silently matches nothing
-                nh = np.zeros(n_docs, dtype=np.int32)
-                for t in present:
-                    nh[term_post[t][0]] += 1
-                hit &= nh == len(present)
-            idxs = np.flatnonzero(hit)
-            if idxs.size == 0:
-                continue
-            k = int(spec.get("k", 10))
-            if idxs.size > k:
-                # keep every doc tied at the k-th score so the (score desc,
-                # ext_id asc) tie-break below stays exact
-                vals = acc[idxs]
-                kth = -np.partition(-vals, k - 1)[k - 1]
-                idxs = idxs[vals >= kth]
-            sel = np.lexsort((ext_ids[idxs], -acc[idxs]))[:k]
-            idxs = idxs[sel]
-            q_out.append(np.full(idxs.size, qid, dtype=object))
-            e_out.append(ext_ids[idxs])
-            s_out.append(acc[idxs])
+        q_out, e_out, s_out = _score_batch_queries(
+            qspecs, idf_by_term, term_post, alive, ext_ids, n_docs
+        )
         if not q_out:
             return empty
         # ONE output frame per segment — 256 per-query DataFrame
@@ -798,10 +946,42 @@ def bm25_topk_batch(
     batch_schema = "query_id string, segment_id long, ext_id long, score double"
     if not _has_tombstones(spark, cat) and n <= NORMS_BROADCAST_MAX_DOCS:
         norms_bc = _norms_broadcast(spark, cat)
-        scorer = make_batch_scorer(qspecs, idf_by_term, avgdl, cfg, norms_bc=norms_bc)
-        partials = postings.groupby("segment_id").applyInPandas(
-            lambda p: scorer(p, None), batch_schema
-        )
+        # impact-cache path: when EVERY live query term is in the hot
+        # postings cache, the batch needs no postings scan, no Arrow
+        # transfer and no varint decode — per run, only the cached
+        # (docs, contribution) arrays and the accumulators touch memory
+        hot_bc, hot_terms = _hot_postings_broadcast(spark, cat, cfg)
+        live = set(df_by_term)
+        cached = (live & hot_terms) if hot_bc is not None else set()
+        if hot_bc is not None and live <= hot_terms:
+            partials = _batch_partials_cached(
+                spark, cat, qspecs, idf_by_term, hot_bc, norms_bc, batch_schema
+            )
+        elif cached:
+            # HYBRID: scan only the uncached TAIL terms; the Zipf-head
+            # terms (the byte-heavy posting lists) come from the impact
+            # cache. A null-term marker row per segment keeps segments
+            # whose every live term is cached in the groupby.
+            tail = sorted(live - cached)
+            scan_df = _query_postings(spark, cat, tail, cfg)
+            marker = spark.createDataFrame(
+                [(int(s),) for s in sorted(norms_bc.value)], "segment_id long"
+            )
+            scan_df = scan_df.unionByName(marker, allowMissingColumns=True)
+            scorer = make_batch_scorer(
+                qspecs, idf_by_term, avgdl, cfg, norms_bc=norms_bc,
+                hot_bc=hot_bc, cached_terms=frozenset(cached),
+            )
+            partials = scan_df.groupby("segment_id").applyInPandas(
+                lambda p: scorer(p, None), batch_schema
+            )
+        else:
+            scorer = make_batch_scorer(
+                qspecs, idf_by_term, avgdl, cfg, norms_bc=norms_bc
+            )
+            partials = postings.groupby("segment_id").applyInPandas(
+                lambda p: scorer(p, None), batch_schema
+            )
     else:
         scorer = make_batch_scorer(qspecs, idf_by_term, avgdl, cfg)
         aux = _aux_df(spark, cat, None)
@@ -818,6 +998,65 @@ def bm25_topk_batch(
         .filter(F.col("rank") <= k_map[F.col("query_id")])
         .select("query_id", "ext_id", "score", "rank")
     )
+
+
+def _batch_partials_cached(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    qspecs: dict[str, dict],
+    idf_by_term: dict[str, float],
+    hot_bc,
+    norms_bc,
+    batch_schema: str,
+) -> DataFrame:
+    """Batch partials from the impact cache: the job parallelizes over a
+    tiny segment-id DataFrame (∝ segment count — the same metadata budget
+    as segment_stats) and reads postings AND norms exclusively from
+    executor-local broadcasts. Zero table scans per run."""
+    segs = sorted(norms_bc.value)
+    if not segs:
+        return spark.createDataFrame([], batch_schema)
+    npart = max(1, min(
+        len(segs), int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ))
+    seg_df = spark.createDataFrame(
+        [(int(s),) for s in segs], "segment_id long"
+    ).repartition(npart, "segment_id")
+
+    def score(it):
+        cache = hot_bc.value
+        for pdf in it:
+            for seg in pdf["segment_id"].to_numpy():
+                seg = int(seg)
+                blob = norms_bc.value.get(seg)
+                if blob is None:
+                    continue
+                dls = np.frombuffer(blob[0], dtype=np.uint32)
+                ext_ids = np.frombuffer(blob[1], dtype=np.int64)
+                n_docs = dls.size
+                term_post = {}
+                for t in idf_by_term:
+                    ent = cache.get(t, {}).get(seg)
+                    if ent is not None:
+                        term_post[t] = (
+                            np.frombuffer(ent[0], np.int32),
+                            np.frombuffer(ent[1], np.float64),
+                        )
+                if not term_post:
+                    continue
+                alive = np.ones(n_docs, dtype=bool)
+                q_out, e_out, s_out = _score_batch_queries(
+                    qspecs, idf_by_term, term_post, alive, ext_ids, n_docs
+                )
+                if q_out:
+                    yield pd.DataFrame(
+                        {"query_id": np.concatenate(q_out),
+                         "segment_id": np.int64(seg),
+                         "ext_id": np.concatenate(e_out),
+                         "score": np.concatenate(s_out)}
+                    )
+
+    return seg_df.mapInPandas(score, batch_schema)
 
 
 def term_docs(
