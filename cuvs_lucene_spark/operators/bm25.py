@@ -142,48 +142,15 @@ HOT_POSTINGS_TOP_N = 512        # hottest terms eligible for the impact cache
 HOT_POSTINGS_MAX_BYTES = 64 << 20  # per-executor byte budget for the cache
 
 
-def _hot_postings_broadcast(spark: SparkSession, cat: IndexCatalog, cfg):
-    """Commit-versioned IMPACT CACHE for the hottest terms: per (term,
-    segment), the decoded doc ids (int32) and each doc's fully-evaluated
-    BM25 contribution (float64) — idf, tf and the length norm are all
-    FIXED at commit time, so the per-query work left is a fancy-indexed
-    add + top-k. Shipped once per executor as a broadcast (memoized per
-    manifest version, superseded snapshots unpersisted), byte-budgeted:
-    terms are admitted hottest-first until ``HOT_POSTINGS_MAX_BYTES`` and
-    a term is either fully cached (every segment) or not at all.
-
-    This is the block-cache attack on the DRAM-bound repeat-batch path:
-    without it every batch run re-reads the postings parquet, re-ships it
-    through Arrow and re-decodes varint blocks — bytes that dominate the
-    N→4N query-scaling measurement. With it, a batch whose terms are all
-    cached touches only the cache arrays (the same role Lucene's impact/
-    block caches and OS page cache play for a hot query set; at 100 TB
-    the byte budget keeps it to the head of the Zipf curve, which is
-    exactly where batch traffic concentrates). Returns (broadcast,
-    covered_terms frozenset) or (None, frozenset()) when unavailable."""
-    memo = getattr(cat, "_term_df_memo", None)
-    if not memo or not memo.get("df"):
-        warm_term_df_memo(spark, cat)
-        memo = getattr(cat, "_term_df_memo", None)
-        if not memo or not memo.get("df"):
-            return None, frozenset()
-    m = cat.read_manifest()
-    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
-    hp = getattr(cat, "_hotpost_memo", None)
-    if hp is not None and hp["ver"] == ver:
-        return hp["bc"], hp["terms"]
-    hot = [
-        t for t, _d in sorted(
-            memo["df"].items(), key=lambda kv: (-kv[1], kv[0])
-        )[:HOT_POSTINGS_TOP_N]
-        if _d > 0
-    ]
-    if not hot:
-        return None, frozenset()
+def _precompute_entries(
+    spark: SparkSession, cat: IndexCatalog, cfg, idf_of: dict[str, float]
+) -> tuple[dict, dict]:
+    """Impact-cache entries for the given terms (one pruned postings scan):
+    → ({term: {segment: (docs blob, contrib blob)}}, {term: total bytes})."""
     n, avgdl = corpus_stats(spark, cat)
-    idf_hot = {t: idf(n, memo["df"][t]) for t in hot}
     k1, b = cfg.bm25.k1, cfg.bm25.b
     norms_bc = _norms_broadcast(spark, cat)
+    idf_of = dict(idf_of)
 
     def precompute(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["term", "segment_id", "docs", "contrib"]
@@ -194,11 +161,11 @@ def _hot_postings_broadcast(spark: SparkSession, cat: IndexCatalog, cfg):
             if blob is not None:
                 dls = np.frombuffer(blob[0], dtype=np.uint32).astype(np.float64)
                 norm_denom = k1 * (1.0 - b + b * dls / avgdl)
-                for t, p in _group_postings(pdf, set(idf_hot)).items():
+                for t, p in _group_postings(pdf, set(idf_of)).items():
                     docs, tfs = _decode_term(p)
                     tfs = tfs.astype(np.float64)
                     contrib = (
-                        idf_hot[t] * tfs * (k1 + 1.0)
+                        idf_of[t] * tfs * (k1 + 1.0)
                         / (tfs + norm_denom[docs])
                     )
                     rows.append(
@@ -212,37 +179,130 @@ def _hot_postings_broadcast(spark: SparkSession, cat: IndexCatalog, cfg):
         )
 
     collected = (
-        _query_postings(spark, cat, hot, cfg)
+        _query_postings(spark, cat, sorted(idf_of), cfg)
         .groupby("segment_id")
         .applyInPandas(
             precompute, "term string, segment_id long, docs binary, contrib binary"
         )
         .collect()
     )
-    by_term: dict[str, dict[int, tuple[bytes, bytes]]] = {}
+    entries: dict[str, dict[int, tuple[bytes, bytes]]] = {}
     bytes_of: dict[str, int] = {}
     for r in collected:
-        by_term.setdefault(r["term"], {})[int(r["segment_id"])] = (
+        entries.setdefault(r["term"], {})[int(r["segment_id"])] = (
             bytes(r["docs"]), bytes(r["contrib"])
         )
-        bytes_of[r["term"]] = bytes_of.get(r["term"], 0) + len(r["docs"]) + len(r["contrib"])
-    cache: dict[str, dict[int, tuple[bytes, bytes]]] = {}
-    budget = HOT_POSTINGS_MAX_BYTES
-    for t in hot:  # hottest-first admission, whole terms only
-        if t in by_term and bytes_of[t] <= budget:
-            cache[t] = by_term[t]
-            budget -= bytes_of[t]
-    if not cache:
+        bytes_of[r["term"]] = (
+            bytes_of.get(r["term"], 0) + len(r["docs"]) + len(r["contrib"])
+        )
+    return entries, bytes_of
+
+def _hot_postings_broadcast(
+    spark: SparkSession, cat: IndexCatalog, cfg, want_idf: dict[str, float] | None = None
+):
+    """Commit-versioned IMPACT CACHE: per (term, segment), the decoded doc
+    ids (int32) and each doc's fully-evaluated BM25 contribution (float64)
+    — idf, tf and the length norm are all FIXED at commit time, so the
+    per-query work left is a fancy-indexed add + top-k. Shipped once per
+    executor as a broadcast (memoized per manifest version, superseded
+    snapshots unpersisted), byte-budgeted (``HOT_POSTINGS_MAX_BYTES``),
+    whole-term admission.
+
+    Two admission sources, mirroring a real block cache:
+
+    - **df head**: the ``HOT_POSTINGS_TOP_N`` hottest terms by document
+      frequency, admitted hottest-first at build (the Zipf head carries
+      most posting bytes);
+    - **access-driven** (``want_idf``): terms a batch actually requests
+      are admitted on first access while budget remains (each term's
+      entries cost one pruned scan — the same scan the hybrid tier would
+      pay anyway), so a REPEATED batch over any term set converges to the
+      zero-scan path. Over-budget terms land in a ``denied`` set and stay
+      on the hybrid scan without re-attempting admission.
+
+    This is the block-cache attack on the DRAM-bound repeat-batch path:
+    without it every batch run re-reads the postings parquet, re-ships it
+    through Arrow and re-decodes varint blocks — the bytes that dominate
+    the N→4N query-scaling measurement (the role Lucene's impact/block
+    caches and the OS page cache play for a hot query set; at 100 TB the
+    byte budget keeps it to the working set, which is exactly where batch
+    traffic concentrates). Returns (broadcast, covered_terms frozenset)
+    or (None, frozenset()) when unavailable."""
+    memo = getattr(cat, "_term_df_memo", None)
+    if not memo or not memo.get("df"):
+        warm_term_df_memo(spark, cat)
+        memo = getattr(cat, "_term_df_memo", None)
+        if not memo or not memo.get("df"):
+            return None, frozenset()
+    m = cat.read_manifest()
+    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
+    hp = getattr(cat, "_hotpost_memo", None)
+    if hp is None or hp["ver"] != ver:
+        n, _avgdl = corpus_stats(spark, cat)
+        hot = [
+            t for t, _d in sorted(
+                memo["df"].items(), key=lambda kv: (-kv[1], kv[0])
+            )[:HOT_POSTINGS_TOP_N]
+            if _d > 0
+        ]
+        if not hot and not want_idf:
+            return None, frozenset()
+        entries, bytes_of = (
+            _precompute_entries(
+                spark, cat, cfg, {t: idf(n, memo["df"][t]) for t in hot}
+            )
+            if hot else ({}, {})
+        )
+        cache: dict[str, dict[int, tuple[bytes, bytes]]] = {}
+        budget = HOT_POSTINGS_MAX_BYTES
+        for t in hot:  # hottest-first admission, whole terms only
+            if t in entries and bytes_of[t] <= budget:
+                cache[t] = entries[t]
+                budget -= bytes_of[t]
+        bc = spark.sparkContext.broadcast(cache)
+        if hp is not None:
+            try:
+                hp["bc"].unpersist()
+            except Exception:
+                pass
+        hp = {
+            "ver": ver, "bc": bc, "terms": frozenset(cache),
+            "budget": budget, "denied": set(),
+        }
+        cat._hotpost_memo = hp
+    if want_idf:
+        missing = {
+            t: v for t, v in want_idf.items()
+            if t not in hp["terms"] and t not in hp["denied"]
+        }
+        if missing and hp["budget"] > 0:
+            entries, bytes_of = _precompute_entries(spark, cat, cfg, missing)
+            cache = dict(hp["bc"].value)
+            budget = hp["budget"]
+            admitted = False
+            for t in sorted(missing):
+                nb = bytes_of.get(t)
+                if nb is None:
+                    hp["denied"].add(t)  # df>0 but no postings rows: never
+                    continue             # retry the scan for it
+                if nb <= budget:
+                    cache[t] = entries[t]
+                    budget -= nb
+                    admitted = True
+                else:
+                    hp["denied"].add(t)
+            if admitted:
+                bc = spark.sparkContext.broadcast(cache)
+                try:
+                    hp["bc"].unpersist()
+                except Exception:
+                    pass
+                hp.update(bc=bc, terms=frozenset(cache), budget=budget)
+        elif missing:
+            hp["denied"].update(missing)
+    if not hp["terms"]:
         return None, frozenset()
-    bc = spark.sparkContext.broadcast(cache)
-    if hp is not None:
-        try:
-            hp["bc"].unpersist()
-        except Exception:
-            pass
-    terms = frozenset(cache)
-    cat._hotpost_memo = {"ver": ver, "bc": bc, "terms": terms}
-    return bc, terms
+    return hp["bc"], hp["terms"]
 
 
 def _alive_mask(n_docs: int, tomb, allowed) -> np.ndarray:
@@ -950,7 +1010,9 @@ def bm25_topk_batch(
         # postings cache, the batch needs no postings scan, no Arrow
         # transfer and no varint decode — per run, only the cached
         # (docs, contribution) arrays and the accumulators touch memory
-        hot_bc, hot_terms = _hot_postings_broadcast(spark, cat, cfg)
+        hot_bc, hot_terms = _hot_postings_broadcast(
+            spark, cat, cfg, want_idf=idf_by_term
+        )
         live = set(df_by_term)
         cached = (live & hot_terms) if hot_bc is not None else set()
         if hot_bc is not None and live <= hot_terms:

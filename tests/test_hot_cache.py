@@ -70,13 +70,17 @@ def test_hybrid_partial_coverage_bit_identical(spark, cat, monkeypatch):
     with monkeypatch.context() as mp:
         mp.setattr(B, "_hot_postings_broadcast", lambda *a, **k: (None, frozenset()))
         want = _rows(B.bm25_topk_batch(spark, cat, QSPECS, CFG))
-    # rebuild the cache with room for only the 2 hottest terms → hybrid
+    # rebuild the cache with room for only the 2 hottest terms and ZERO
+    # remaining budget → access-driven admission denies the rest → hybrid
     with monkeypatch.context() as mp:
         mp.setattr(B, "HOT_POSTINGS_TOP_N", 2)
         cat._hotpost_memo = None
-        got = _rows(B.bm25_topk_batch(spark, cat, QSPECS, CFG))
+        B._hot_postings_broadcast(spark, cat, CFG)  # head-only build
         hp = cat._hotpost_memo
         assert hp is not None and 0 < len(hp["terms"]) <= 2  # genuinely partial
+        hp["budget"] = 0  # extension cannot admit → tail stays scanned
+        got = _rows(B.bm25_topk_batch(spark, cat, QSPECS, CFG))
+        assert len(hp["terms"]) <= 2 and hp["denied"]  # still partial
     cat._hotpost_memo = None  # drop the tiny cache for later tests
     assert got == want and want
 
