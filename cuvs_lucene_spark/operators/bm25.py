@@ -953,14 +953,37 @@ def bm25_topk(
     )
     if fast:
         norms_bc = _norms_broadcast(spark, cat)
-        scorer = make_scorer(
-            list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
-            allowed_ext=allowed_ext, norms_bc=norms_bc,
-            visited_limit=visited_limit,
+        # opportunistic impact-cache hit: if a prior batch already built a
+        # fresh cache covering every live term, a repeat single query runs
+        # scan-free too (USE-only — single queries never trigger a cache
+        # build, so commit/build latency is unaffected)
+        hp = getattr(cat, "_hotpost_memo", None)
+        m = cat.read_manifest()
+        ver = max(
+            (e.get("committed_at", 0) for e in m["tables"].values()), default=0
         )
-        partials = postings.groupby("segment_id").applyInPandas(
-            lambda p: scorer(p, None), SCORE_SCHEMA
-        )
+        if (
+            hp is not None
+            and hp["ver"] == ver
+            and hp["terms"]
+            and set(df_by_term) <= hp["terms"]
+            and allowed_ext is None
+            and visited_limit is None
+        ):
+            qspec = {"q": {"terms": list(df_by_term), "mode": mode, "k": k}}
+            partials = _batch_partials_cached(
+                spark, cat, qspec, idf_by_term, hp["bc"], norms_bc,
+                "query_id string, segment_id long, ext_id long, score double",
+            ).select("segment_id", "ext_id", "score")
+        else:
+            scorer = make_scorer(
+                list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
+                allowed_ext=allowed_ext, norms_bc=norms_bc,
+                visited_limit=visited_limit,
+            )
+            partials = postings.groupby("segment_id").applyInPandas(
+                lambda p: scorer(p, None), SCORE_SCHEMA
+            )
     else:
         scorer = make_scorer(
             list(df_by_term), idf_by_term, avgdl, k, cfg, mode,

@@ -85,6 +85,29 @@ def test_hybrid_partial_coverage_bit_identical(spark, cat, monkeypatch):
     assert got == want and want
 
 
+def test_single_query_cache_hit_bit_identical(spark, cat, monkeypatch):
+    """A repeat single query after a batch built the cache takes the
+    scan-free path with bit-identical results (OR and AND modes)."""
+    cases = [(["join", "vector"], "or"), (["dup", "slow"], "and")]
+    want = {}
+    with monkeypatch.context() as mp:
+        mp.setattr(B, "_hot_postings_broadcast", lambda *a, **k: (None, frozenset()))
+        cat._hotpost_memo = None
+        for terms, mode in cases:
+            want[mode] = sorted(
+                (r["ext_id"], round(r["score"], 9))
+                for r in B.bm25_topk(spark, cat, terms, k=10, mode=mode, cfg=CFG).collect()
+            )
+    B.bm25_topk_batch(spark, cat, QSPECS, CFG).collect()  # builds the cache
+    assert cat._hotpost_memo is not None
+    for terms, mode in cases:
+        got = sorted(
+            (r["ext_id"], round(r["score"], 9))
+            for r in B.bm25_topk(spark, cat, terms, k=10, mode=mode, cfg=CFG).collect()
+        )
+        assert got == want[mode] and got
+
+
 def test_cache_invalidates_on_commit(spark, cat):
     B.bm25_topk_batch(spark, cat, QSPECS, CFG).collect()
     ver0 = cat._hotpost_memo["ver"]
