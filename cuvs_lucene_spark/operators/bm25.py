@@ -139,7 +139,10 @@ def _norms_broadcast(spark: SparkSession, cat: IndexCatalog):
 
 
 HOT_POSTINGS_TOP_N = 512        # hottest terms eligible for the impact cache
-HOT_POSTINGS_MAX_BYTES = 64 << 20  # per-executor byte budget for the cache
+HOT_POSTINGS_MAX_BYTES = 512 << 20  # per-executor byte budget for the cache
+                                    # (a fraction of executor memory: the
+                                    # working set of a repeated batch in
+                                    # impact form is ~12 bytes per posting)
 
 
 def _precompute_entries(
@@ -254,11 +257,17 @@ def _hot_postings_broadcast(
             if hot else ({}, {})
         )
         cache: dict[str, dict[int, tuple[bytes, bytes]]] = {}
-        budget = HOT_POSTINGS_MAX_BYTES
+        # the df head may claim at most HALF the budget: the other half is
+        # reserved for ACCESS-driven admission — without the reserve, a
+        # heavy Zipf head fills the whole budget and the (often tiny)
+        # terms real batches ask for are denied forever, pinning every
+        # repeat run to the hybrid tail scan
+        budget_head = HOT_POSTINGS_MAX_BYTES // 2
         for t in hot:  # hottest-first admission, whole terms only
-            if t in entries and bytes_of[t] <= budget:
+            if t in entries and bytes_of[t] <= budget_head:
                 cache[t] = entries[t]
-                budget -= bytes_of[t]
+                budget_head -= bytes_of[t]
+        budget = HOT_POSTINGS_MAX_BYTES // 2 + budget_head
         bc = spark.sparkContext.broadcast(cache)
         if hp is not None:
             try:
@@ -1077,10 +1086,28 @@ def bm25_topk_batch(
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("ext_id"))
     k_of = {qid: int(s.get("k", 10)) for qid, s in qspecs.items()}
-    k_map = F.create_map(*[x for qid, kk in k_of.items() for x in (F.lit(qid), F.lit(kk))])
+    ks = set(k_of.values())
+    if len(ks) == 1:
+        # homogeneous k (the common batch shape): a constant comparison —
+        # a per-query create_map of 2·|batch| literals costs seconds of
+        # DRIVER analysis per run at 1024 queries, a pure serial tax that
+        # caps N→4N batch scaling
+        k_cond = F.col("rank") <= next(iter(ks))
+    else:
+        k_map = F.create_map(
+            *[x for qid, kk in k_of.items() for x in (F.lit(qid), F.lit(kk))]
+        )
+        k_cond = F.col("rank") <= k_map[F.col("query_id")]
+    # explicit repartition before the window: the partials are small in
+    # BYTES (segments × queries × k compact rows), so AQE's advisory-size
+    # coalescing would collapse the window exchange to ONE task — a
+    # constant serial sort that caps N→4N batch scaling (Amdahl). An
+    # explicit numPartitions pins the per-query window work parallel.
+    npart = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
     return (
-        partials.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_map[F.col("query_id")])
+        partials.repartition(npart, "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(k_cond)
         .select("query_id", "ext_id", "score", "rank")
     )
 
