@@ -167,6 +167,19 @@ class IndexConfig:
 # (CagraIndexParamsFactory.java — SURVEY.md O1/O2/B5).
 # ---------------------------------------------------------------------------
 
+def shuffle_partitions(spark, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerant of platforms
+    where the conf is non-numeric (auto-optimized shuffle returns
+    "auto"); falls back to the cluster default parallelism."""
+    try:
+        return max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (ValueError, TypeError):
+        try:
+            return max(1, int(spark.sparkContext.defaultParallelism))
+        except Exception:
+            return default
+
+
 NN_DESCENT_THRESHOLD = 5_000_000  # CagraIndexParamsFactory.java:22
 
 

@@ -30,7 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuvs_lucene_spark.config import AnnParams, IndexConfig, ivf_pq_params
+from cuvs_lucene_spark.config import (
+    AnnParams,
+    IndexConfig,
+    ivf_pq_params,
+    shuffle_partitions,
+)
 from cuvs_lucene_spark.functions.quantize import scalar_dequantize, scalar_quantize, widen_unsigned
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
@@ -803,6 +808,15 @@ def ann_topk(
             cat.read(spark, "ann_ivf").filter(F.col("list_id") >= 0),
             qn, nprobe, probe_mode,
         )
+        if sel is not None and not _derived_in_sync(cat, "ann_ivf"):
+            # stale ann_ivf (crash between merge appends) may still carry
+            # the merged-AWAY segments' lists — anchoring on live flat
+            # segments prevents those from emitting duplicate results
+            # (the cogrouped formats are flat-anchored by construction)
+            sel = sel.join(
+                cat.read(spark, "ann_flat").select("segment_id"),
+                "segment_id", "left_semi",
+            )
         if sel is None:
             use_ivf = False
     if use_ivf and sel is not None:
@@ -828,6 +842,12 @@ def ann_topk(
         bf_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
             "bf_fallback_segments"
         )
+        if not _derived_in_sync(cat, "ann_ivf"):
+            # a crash between the flat append and the ann_ivf append (or
+            # its stage recompute) leaves the manifest list stale — fall
+            # through to the anti-join derivation so the new segments'
+            # vectors stay reachable (same contract as bq/ivfpq healing)
+            bf_segs = None
         flat = _attach_aux(cat.read(spark, "ann_flat"), fblobs, tblobs)
         if bf_segs is None:
             # pre-v2 index without the manifest list: derive it with an anti-join
@@ -2141,8 +2161,12 @@ def knn_join_ivf(
     distributed = probe_mode == "distributed" or shuffle
     # B2 degradation ladder: segments too small for an IVF index are
     # brute-forced — every query probes them as one pseudo-list (-2), so
-    # their vectors are reachable exactly like ann_topk's bf fallback
+    # their vectors are reachable exactly like ann_topk's bf fallback.
+    # A stale manifest list (crash before the ann_ivf append) forces the
+    # anti-join derivation, same reachability healing as ann_topk.
     bf_segs = stage.get("bf_fallback_segments")
+    if not _derived_in_sync(cat, "ann_ivf"):
+        bf_segs = None
     if bf_segs is None:
         flat_seg = {
             r["segment_id"]
@@ -2187,7 +2211,7 @@ def knn_join_ivf(
         # fragment-and-replicate join (shuffle tier)
         qpack = _pack_query_batches(q)
         if shuffle:
-            n_bkt = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+            n_bkt = shuffle_partitions(spark)
             salt = F.array(*[F.lit(i) for i in range(n_bkt)])
             qpack = qpack.withColumn("rbkt", F.explode(salt))
 
@@ -2321,6 +2345,12 @@ def knn_join_ivf(
         F.collect_list(F.struct("q_id", "q_vec")).alias("qs")
     )
     lists = ivf.filter(F.col("list_id") >= 0) if ivf is not None else None
+    if lists is not None and not _derived_in_sync(cat, "ann_ivf"):
+        # stale ann_ivf: drop merged-away segments' lists (see ann_topk)
+        lists = lists.join(
+            cat.read(spark, "ann_flat").select("segment_id"),
+            "segment_id", "left_semi",
+        )
     if bf_segs:
         flat_lists = (
             cat.read(spark, "ann_flat")

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuvs_lucene_spark.config import IndexConfig
+from cuvs_lucene_spark.config import IndexConfig, shuffle_partitions
 from cuvs_lucene_spark.functions.varint import varint_decode
 from cuvs_lucene_spark.operators.segments import corpus_stats, term_bucket_py
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
@@ -201,7 +201,11 @@ def _precompute_entries(
     return entries, bytes_of
 
 def _hot_postings_broadcast(
-    spark: SparkSession, cat: IndexCatalog, cfg, want_idf: dict[str, float] | None = None
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg,
+    want_idf: dict[str, float] | None = None,
+    want_df: dict[str, int] | None = None,
 ):
     """Commit-versioned IMPACT CACHE: per (term, segment), the decoded doc
     ids (int32) and each doc's fully-evaluated BM25 contribution (float64)
@@ -242,12 +246,28 @@ def _hot_postings_broadcast(
     hp = getattr(cat, "_hotpost_memo", None)
     if hp is None or hp["ver"] != ver:
         n, _avgdl = corpus_stats(spark, cat)
-        hot = [
-            t for t, _d in sorted(
-                memo["df"].items(), key=lambda kv: (-kv[1], kv[0])
-            )[:HOT_POSTINGS_TOP_N]
-            if _d > 0
-        ]
+        # the df head may claim at most HALF the budget: the other half is
+        # reserved for ACCESS-driven admission — without the reserve, a
+        # heavy Zipf head fills the whole budget and the (often tiny)
+        # terms real batches ask for are denied forever, pinning every
+        # repeat run to the hybrid tail scan
+        budget_head = HOT_POSTINGS_MAX_BYTES // 2
+        # pre-admission by ESTIMATED size (df × ~13 bytes in impact form):
+        # a term that cannot fit is never even scanned, and the cumulative
+        # estimate caps the driver-side assembly at ~2× the budget — no
+        # unbounded collect at any corpus scale
+        hot: list[str] = []
+        cum = 0
+        for t, d in sorted(memo["df"].items(), key=lambda kv: (-kv[1], kv[0]))[
+            :HOT_POSTINGS_TOP_N
+        ]:
+            if d <= 0:
+                continue
+            est = d * 13
+            if est > budget_head or cum + est > 2 * budget_head:
+                continue
+            hot.append(t)
+            cum += est
         if not hot and not want_idf:
             return None, frozenset()
         entries, bytes_of = (
@@ -257,12 +277,6 @@ def _hot_postings_broadcast(
             if hot else ({}, {})
         )
         cache: dict[str, dict[int, tuple[bytes, bytes]]] = {}
-        # the df head may claim at most HALF the budget: the other half is
-        # reserved for ACCESS-driven admission — without the reserve, a
-        # heavy Zipf head fills the whole budget and the (often tiny)
-        # terms real batches ask for are denied forever, pinning every
-        # repeat run to the hybrid tail scan
-        budget_head = HOT_POSTINGS_MAX_BYTES // 2
         for t in hot:  # hottest-first admission, whole terms only
             if t in entries and bytes_of[t] <= budget_head:
                 cache[t] = entries[t]
@@ -284,6 +298,21 @@ def _hot_postings_broadcast(
             t: v for t, v in want_idf.items()
             if t not in hp["terms"] and t not in hp["denied"]
         }
+        if missing and hp["budget"] > 0:
+            # estimated-size pre-filter (df × ~13B): over-budget terms are
+            # denied WITHOUT a scan, and the cumulative estimate bounds
+            # the driver-side assembly of one admission round
+            est_of = want_df or {}
+            cand: dict[str, float] = {}
+            cum = 0
+            for t in sorted(missing):
+                est = int(est_of.get(t, 0)) * 13
+                if est > hp["budget"] or cum + est > 2 * hp["budget"]:
+                    hp["denied"].add(t)
+                    continue
+                cand[t] = missing[t]
+                cum += est
+            missing = cand
         if missing and hp["budget"] > 0:
             entries, bytes_of = _precompute_entries(spark, cat, cfg, missing)
             cache = dict(hp["bc"].value)
@@ -1043,7 +1072,7 @@ def bm25_topk_batch(
         # transfer and no varint decode — per run, only the cached
         # (docs, contribution) arrays and the accumulators touch memory
         hot_bc, hot_terms = _hot_postings_broadcast(
-            spark, cat, cfg, want_idf=idf_by_term
+            spark, cat, cfg, want_idf=idf_by_term, want_df=df_by_term
         )
         live = set(df_by_term)
         cached = (live & hot_terms) if hot_bc is not None else set()
@@ -1103,7 +1132,7 @@ def bm25_topk_batch(
     # coalescing would collapse the window exchange to ONE task — a
     # constant serial sort that caps N→4N batch scaling (Amdahl). An
     # explicit numPartitions pins the per-query window work parallel.
-    npart = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    npart = shuffle_partitions(spark)
     return (
         partials.repartition(npart, "query_id")
         .withColumn("rank", F.row_number().over(w))
@@ -1128,9 +1157,7 @@ def _batch_partials_cached(
     segs = sorted(norms_bc.value)
     if not segs:
         return spark.createDataFrame([], batch_schema)
-    npart = max(1, min(
-        len(segs), int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ))
+    npart = max(1, min(len(segs), shuffle_partitions(spark)))
     seg_df = spark.createDataFrame(
         [(int(s),) for s in segs], "segment_id long"
     ).repartition(npart, "segment_id")

@@ -442,7 +442,11 @@ def tier_groups(
     tests/test_merge_policy.py:
 
     - a segment joins at most ONE group per round (never merged twice);
-    - every group has 2..``fanin`` members;
+    - every group has 2..``fanin`` members — except DELETE-RECLAIM
+      singletons: a delete-pressured segment that finds no size-comparable
+      partner is rewritten ALONE (TieredMergePolicy performs exactly this
+      singleton merge to reclaim dead docs; without it a solitary
+      mostly-dead settled segment would keep its garbage forever);
     - groups are size-comparable: within a group, live size spans at most
       ``size_ratio_bound``× the group's smallest member (merging a tiny
       flush segment into a near-cap one wastes a full rewrite of the big
@@ -471,6 +475,13 @@ def tier_groups(
         cur.append(s)
     if len(cur) >= 2:
         groups.append(cur)
+    # delete-reclaim singletons: pressured segments left ungrouped are
+    # rewritten alone (their tombstoned rows drop and the pressure clears,
+    # so this cannot churn — next round their deleted fraction is 0)
+    grouped = {s for g in groups for s in g}
+    for _n, s in eligible:
+        if s not in grouped and deleted_frac.get(s, 0.0) > deletes_pct_allowed:
+            groups.append([s])
     return groups
 
 

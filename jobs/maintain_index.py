@@ -89,20 +89,43 @@ def main(argv=None):
             t0 = time.time()
             out["ann_tombstones"] = delete_ann(spark, cat, args.delete_ids, cfg)
             out["ann_delete_sec"] = round(time.time() - t0, 3)
-        # tiered ANN maintenance: merge undersized segments, fan-in groups
+        # tiered ANN maintenance: size-comparable undersized groups under
+        # the same TieredMergePolicy invariants as the text side
+        from cuvs_lucene_spark.operators.merge import tier_groups
+
         rps = args.rows_per_segment or cat.read_manifest().get("config", {}).get(
             "rows_per_segment", cfg.rows_per_segment
         )
-        small = sorted(
-            int(r["segment_id"])
+        sizes = [
+            (int(r["n_vecs"]), int(r["segment_id"]))
             for r in cat.read(spark, "ann_flat")
-            .filter(F.col("n_vecs") < rps).select("segment_id").collect()
-        )
-        groups = [
-            small[i : i + cfg.merge_fanin]
-            for i in range(0, len(small), cfg.merge_fanin)
+            .select("segment_id", "n_vecs").collect()
         ]
-        groups = [g for g in groups if len(g) >= 2]
+        # ANN delete pressure: tombstones below delete_ann's own auto-merge
+        # envelope still create maintenance-time merge pressure (live
+        # sizes + deletesPctAllowed), same as the text side
+        dfrac: dict[int, float] = {}
+        if cat.exists("ann_tombstones") and cat.table_lineage(
+            "ann_tombstones"
+        ).get("n"):
+            from cuvs_lucene_spark.operators.ann import _ann_ids
+
+            n_of = {s: n for n, s in sizes}
+            dead = (
+                _ann_ids(spark, cat)
+                .join(cat.read(spark, "ann_tombstones"), "ext_id", "left_semi")
+                .groupBy("segment_id")
+                .agg(F.count("*").alias("nd"))
+                .collect()
+            )
+            for r in dead:
+                s = int(r["segment_id"])
+                dfrac[s] = float(r["nd"]) / max(1, n_of.get(s, 1))
+            sizes = [
+                (max(0, n - int(round(dfrac.get(s, 0.0) * n))), s)
+                for n, s in sizes
+            ]
+        groups = tier_groups(sizes, cfg.merge_fanin, rps, deleted_frac=dfrac)
         out["ann_merge_groups"] = len(groups)
         if groups:
             t0 = time.time()

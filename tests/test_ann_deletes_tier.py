@@ -226,6 +226,51 @@ def test_missing_ivfpq_rows_stay_reachable(spark, tmp_path):
     assert got == want  # all-bf equals exact
 
 
+def test_crash_before_any_derived_append_ivf_safe(spark, tmp_path, monkeypatch):
+    """Crash at the FIRST derived append (ann_sq — so ann_sq/bq/ivf/... are
+    all stale: old segments' rows still visible, new segments' missing):
+    IVF search and the kNN join must neither drop the merged vectors NOR
+    emit duplicates from the merged-away segments' stale lists."""
+    cat, df = _build(spark, str(tmp_path / "ivfcrash"), cfg=NOCOMPACT)
+    real_append = IndexCatalog.append
+
+    def crashing_append(self, d, table, **kw):
+        if table == "ann_sq":
+            raise RuntimeError("simulated crash before derived appends")
+        return real_append(self, d, table, **kw)
+
+    monkeypatch.setattr(IndexCatalog, "append", crashing_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        A.merge_ann(spark, cat, NOCOMPACT)
+    monkeypatch.setattr(IndexCatalog, "append", real_append)
+    assert not A._derived_in_sync(cat, "ann_ivf")
+
+    want = [
+        (r["ext_id"], round(r["score"], 9))
+        for r in A.ann_topk(spark, cat, _vec(1), k=10, cfg=CFG, mode="exact").collect()
+    ]
+    got = [
+        (r["ext_id"], round(r["score"], 9))
+        for r in A.ann_topk(spark, cat, _vec(1), k=10, cfg=CFG, mode="ivf").collect()
+    ]
+    assert got == want  # complete AND duplicate-free
+    # SQ path: stale rows (old segs, no flat → skipped) + missing rows
+    # (new segs → exact fallback) — still exact
+    got_sq = [
+        (r["ext_id"], round(r["score"], 9))
+        for r in A.ann_topk_sq(spark, cat, _vec(1), k=10, cfg=CFG).collect()
+    ]
+    assert got_sq == want
+    # the bucketed join: per-query unique ranks, containment vs exact
+    qdf = df.filter(F.col("vec_id").isin([1, 5])).selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    rows = A.knn_join_ivf(spark, cat, qdf, k=3).collect()
+    keys = [(r["q_id"], r["rank"]) for r in rows]
+    assert len(keys) == len(set(keys)) == 6
+    assert len({(r["q_id"], r["vec_id"]) for r in rows}) == 6  # no dup vecs
+
+
 def test_missing_bq_rows_pure_hamming_reachable(spark, tmp_path):
     """Crash before the merge's ann_bq append: the pure-hamming path must
     recompute codes from flat for the uncovered segments (numpy oracle)."""

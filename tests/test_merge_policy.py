@@ -73,6 +73,14 @@ def test_tier_groups_delete_pressure(sizes, fanin, cap, dead):
         # an over-cap segment is selected ONLY under delete pressure
         if n_of[s] >= cap:
             assert dead.get(s, 0.0) > allowed
+    # singleton delete-reclaim: EVERY pressured segment is selected (alone
+    # if no partner exists — TieredMergePolicy's singleton merge)
+    for n, s in sizes:
+        if dead.get(s, 0.0) > allowed:
+            assert s in chosen
+    for g in groups:
+        if len(g) == 1:  # singletons exist only under delete pressure
+            assert dead.get(g[0], 0.0) > allowed
     # and pressure actually admits them when a partner exists: with an
     # unbounded ratio, every eligible segment pairs up except at most one
     eligible = sorted(
@@ -106,7 +114,11 @@ def test_pick_merge_groups_with_deletes_integration(spark, tmp_path):
     groups = pick_merge_groups(spark, cat, cfg, max_segment_docs=40)
     flat = [s for g in groups for s in g]
     assert len(flat) == len(set(flat))
-    assert all(len(g) >= 2 for g in groups)
+    # the settled (at-cap) segments are ineligible; the 80%-dead segment
+    # is reclaimed ALONE (TieredMergePolicy's singleton delete merge)
+    assert groups and all(
+        len(g) >= 2 or len(g) == 1 for g in groups
+    ) and any(len(g) == 1 for g in groups)
     if groups:
         merge_segments(spark, cat, cfg, groups=groups)
         # merged result stays queryable and excludes deleted docs
