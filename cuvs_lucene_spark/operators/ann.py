@@ -371,6 +371,13 @@ def _derived_in_sync(cat: IndexCatalog, table: str) -> bool:
     return not (flat_tags - covered)
 
 
+def _covered_tags(cat: IndexCatalog, table: str) -> set:
+    """Append tags a table's committed state covers (its own appends plus
+    any recorded ``covers_tags`` heal/rebuild marker)."""
+    de = cat.read_manifest()["tables"].get(table, {})
+    return set(de.get("append_tags", {})) | set(de.get("covers_tags", []))
+
+
 def _ann_ids(spark: SparkSession, cat: IndexCatalog) -> DataFrame:
     """Thin (segment_id, ext_id) map of the ANN sidecar — the row-level
     ord→doc table (S6) that lets a DataFrame filter resolve to per-segment
@@ -574,8 +581,20 @@ def delete_ann(
     falling back to the passed cfg."""
     cfg = cfg or IndexConfig()
     if isinstance(ext_ids, DataFrame):
+        # delete_docs parity: a named ext_id column is required unless the
+        # frame is single-column — columns[0] of a (segment_id, ext_id)
+        # slice would silently tombstone segment ids as ext ids
+        if "ext_id" in ext_ids.columns:
+            id_col = "ext_id"
+        elif len(ext_ids.columns) == 1:
+            id_col = ext_ids.columns[0]
+        else:
+            raise ValueError(
+                "delete_ann: DataFrame input must have an 'ext_id' column "
+                f"(or exactly one column); got {ext_ids.columns}"
+            )
         new = ext_ids.select(
-            F.col(ext_ids.columns[0]).cast("long").alias("ext_id")
+            F.col(id_col).cast("long").alias("ext_id")
         ).distinct()
     else:
         new = spark.createDataFrame([(int(i),) for i in set(ext_ids)], "ext_id long")
@@ -892,10 +911,17 @@ def _probe_select(
     ``PROBE_DRIVER_MAX_SEGMENTS``. Returns None when no segment has an
     IVF index (caller falls back to brute force)."""
     dim = int(qn.size)
+    if probe_mode not in ("auto", "driver", "distributed", "shuffle"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
     n_segs = cat.read_manifest()["stages"].get("ann_ivf", {}).get(
         "n_ivf_segments"
     )
-    distributed = probe_mode == "distributed" or (
+    # single-query search has no query side to fragment — 'shuffle' (the
+    # knn_join_ivf tier) degrades to the distributed probe here, which
+    # already holds zero driver state ∝ segment count; silently treating
+    # it as 'driver' would be the exact memory profile the caller opted
+    # out of
+    distributed = probe_mode in ("distributed", "shuffle") or (
         probe_mode == "auto"
         and n_segs is not None
         and n_segs > PROBE_DRIVER_MAX_SEGMENTS
@@ -1358,7 +1384,13 @@ def build_ann_pq(
     approximate distance = sum of per-subspace LUT entries."""
     cfg = cfg or IndexConfig()
     metric = cat.read_manifest().get("config", {}).get("ann_metric", "l2")
-    cat.write(_pq_rows(cat.read(spark, "ann_flat"), cfg, metric), "ann_pq")
+    # a full rebuild derives from the CURRENT flat (epoch/merge appends
+    # included) — record that as covers_tags, else _derived_in_sync would
+    # read the tagless fresh entry as permanently stale
+    cat.write(
+        _pq_rows(cat.read(spark, "ann_flat"), cfg, metric), "ann_pq",
+        extra_entry={"covers_tags": sorted(_covered_tags(cat, "ann_flat"))},
+    )
     cat.mark_stage("ann_pq")
 
 
@@ -1517,6 +1549,13 @@ def build_ann_ivfpq(
         ),
         "ann_ivfpq",
         sort_within_partitions=["segment_id", "list_id"],
+        # derived from ann_ivf ∩ ann_pq: the rebuild covers exactly the
+        # tags BOTH inputs cover (see build_ann_pq's covers_tags note)
+        extra_entry={
+            "covers_tags": sorted(
+                _covered_tags(cat, "ann_ivf") & _covered_tags(cat, "ann_pq")
+            )
+        },
     )
     cat.mark_stage("ann_ivfpq")
 
@@ -2153,6 +2192,8 @@ def knn_join_ivf(
     ivf = cat.read(spark, "ann_ivf") if cat.exists("ann_ivf") else None
     stage = cat.read_manifest()["stages"].get("ann_ivf", {})
     n_segs = stage.get("n_ivf_segments")
+    if probe_mode not in ("auto", "driver", "distributed", "shuffle"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
     shuffle = probe_mode == "shuffle" or (
         probe_mode == "auto"
         and n_segs is not None

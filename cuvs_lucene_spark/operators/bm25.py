@@ -143,6 +143,27 @@ HOT_POSTINGS_MAX_BYTES = 512 << 20  # per-executor byte budget for the cache
                                     # (a fraction of executor memory: the
                                     # working set of a repeated batch in
                                     # impact form is ~12 bytes per posting)
+HOT_POSTINGS_MAX_LAYERS = 8     # delta broadcasts before consolidation
+
+
+def _hot_cache_key(cat: IndexCatalog, cfg) -> tuple:
+    """Impact-cache identity: manifest version AND the BM25 params the
+    cached contributions were baked with — a different (k1, b) must miss."""
+    m = cat.read_manifest()
+    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
+    return (ver, float(cfg.bm25.k1), float(cfg.bm25.b))
+
+
+def _cache_get(bcs, term: str):
+    """Look a term up across the cache's broadcast layers, newest first
+    (admission is whole-term, so the first hit is the complete
+    per-segment entry dict). ``bcs`` is the tuple returned by
+    :func:`_hot_postings_broadcast`."""
+    for bc in reversed(bcs):
+        d = bc.value.get(term)
+        if d is not None:
+            return d
+    return None
 
 
 def _precompute_entries(
@@ -233,16 +254,29 @@ def _hot_postings_broadcast(
     the N→4N query-scaling measurement (the role Lucene's impact/block
     caches and the OS page cache play for a hot query set; at 100 TB the
     byte budget keeps it to the working set, which is exactly where batch
-    traffic concentrates). Returns (broadcast, covered_terms frozenset)
-    or (None, frozenset()) when unavailable."""
+    traffic concentrates).
+
+    Cache key = (manifest version, k1, b): contributions bake the BM25
+    params in, so a query under a different ``cfg`` must NOT reuse them —
+    a params change rebuilds the cache (and :func:`bm25_topk`'s
+    opportunistic hit checks the same key).
+
+    Admissions ship as DELTA broadcasts (only the newly admitted terms'
+    entries cross the wire), consolidated into one broadcast once the
+    layer count exceeds ``HOT_POSTINGS_MAX_LAYERS`` — re-broadcasting the
+    whole half-GB cache to admit a few KB of new terms would make the
+    driver→executor transfer, not the scan, the repeat-batch bottleneck.
+
+    Returns (tuple of broadcasts newest-last, covered_terms frozenset) or
+    ((), frozenset()) when unavailable; look entries up with
+    :func:`_cache_get`."""
     memo = getattr(cat, "_term_df_memo", None)
     if not memo or not memo.get("df"):
         warm_term_df_memo(spark, cat)
         memo = getattr(cat, "_term_df_memo", None)
         if not memo or not memo.get("df"):
-            return None, frozenset()
-    m = cat.read_manifest()
-    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
+            return (), frozenset()
+    ver = _hot_cache_key(cat, cfg)
     hp = getattr(cat, "_hotpost_memo", None)
     if hp is None or hp["ver"] != ver:
         n, _avgdl = corpus_stats(spark, cat)
@@ -269,7 +303,7 @@ def _hot_postings_broadcast(
             hot.append(t)
             cum += est
         if not hot and not want_idf:
-            return None, frozenset()
+            return (), frozenset()
         entries, bytes_of = (
             _precompute_entries(
                 spark, cat, cfg, {t: idf(n, memo["df"][t]) for t in hot}
@@ -284,12 +318,13 @@ def _hot_postings_broadcast(
         budget = HOT_POSTINGS_MAX_BYTES // 2 + budget_head
         bc = spark.sparkContext.broadcast(cache)
         if hp is not None:
-            try:
-                hp["bc"].unpersist()
-            except Exception:
-                pass
+            for old in hp["bcs"]:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
         hp = {
-            "ver": ver, "bc": bc, "terms": frozenset(cache),
+            "ver": ver, "bcs": [bc], "terms": frozenset(cache),
             "budget": budget, "denied": set(),
         }
         cat._hotpost_memo = hp
@@ -315,32 +350,41 @@ def _hot_postings_broadcast(
             missing = cand
         if missing and hp["budget"] > 0:
             entries, bytes_of = _precompute_entries(spark, cat, cfg, missing)
-            cache = dict(hp["bc"].value)
+            delta: dict[str, dict[int, tuple[bytes, bytes]]] = {}
             budget = hp["budget"]
-            admitted = False
             for t in sorted(missing):
                 nb = bytes_of.get(t)
                 if nb is None:
                     hp["denied"].add(t)  # df>0 but no postings rows: never
                     continue             # retry the scan for it
                 if nb <= budget:
-                    cache[t] = entries[t]
+                    delta[t] = entries[t]
                     budget -= nb
-                    admitted = True
                 else:
                     hp["denied"].add(t)
-            if admitted:
-                bc = spark.sparkContext.broadcast(cache)
-                try:
-                    hp["bc"].unpersist()
-                except Exception:
-                    pass
-                hp.update(bc=bc, terms=frozenset(cache), budget=budget)
+            if delta:
+                # delta-only broadcast: admitted bytes cross the wire, not
+                # the whole cache; layers consolidate past the cap
+                hp["bcs"].append(spark.sparkContext.broadcast(delta))
+                hp.update(
+                    terms=hp["terms"] | frozenset(delta), budget=budget
+                )
+                if len(hp["bcs"]) > HOT_POSTINGS_MAX_LAYERS:
+                    merged: dict = {}
+                    for layer in hp["bcs"]:
+                        merged.update(layer.value)
+                    bc = spark.sparkContext.broadcast(merged)
+                    for old in hp["bcs"]:
+                        try:
+                            old.unpersist()
+                        except Exception:
+                            pass
+                    hp["bcs"] = [bc]
         elif missing:
             hp["denied"].update(missing)
     if not hp["terms"]:
-        return None, frozenset()
-    return hp["bc"], hp["terms"]
+        return (), frozenset()
+    return tuple(hp["bcs"]), hp["terms"]
 
 
 def _alive_mask(n_docs: int, tomb, allowed) -> np.ndarray:
@@ -655,7 +699,7 @@ def make_batch_scorer(
         if postings.empty:
             return empty
         seg = int(postings["segment_id"].iloc[0])
-        if hot_bc is not None:
+        if hot_bc:
             postings = postings[postings["term"].notna()]  # drop marker rows
         if aux is None:
             blob = norms_bc.value.get(seg)
@@ -689,10 +733,9 @@ def make_batch_scorer(
                 tfs = tfs.astype(np.float64)
                 contrib = idf_by_term[t] * tfs * (k1 + 1.0) / (tfs + norm_denom[docs])
                 term_post[t] = (docs, contrib)
-        if hot_bc is not None:
-            c = hot_bc.value
+        if hot_bc:
             for t in cached_terms:
-                ent = c.get(t, {}).get(seg)
+                ent = (_cache_get(hot_bc, t) or {}).get(seg)
                 if ent is not None and t not in term_post:
                     term_post[t] = (
                         np.frombuffer(ent[0], np.int32),
@@ -996,13 +1039,9 @@ def bm25_topk(
         # scan-free too (USE-only — single queries never trigger a cache
         # build, so commit/build latency is unaffected)
         hp = getattr(cat, "_hotpost_memo", None)
-        m = cat.read_manifest()
-        ver = max(
-            (e.get("committed_at", 0) for e in m["tables"].values()), default=0
-        )
         if (
             hp is not None
-            and hp["ver"] == ver
+            and hp["ver"] == _hot_cache_key(cat, cfg)
             and hp["terms"]
             and set(df_by_term) <= hp["terms"]
             and allowed_ext is None
@@ -1010,7 +1049,7 @@ def bm25_topk(
         ):
             qspec = {"q": {"terms": list(df_by_term), "mode": mode, "k": k}}
             partials = _batch_partials_cached(
-                spark, cat, qspec, idf_by_term, hp["bc"], norms_bc,
+                spark, cat, qspec, idf_by_term, tuple(hp["bcs"]), norms_bc,
                 "query_id string, segment_id long, ext_id long, score double",
             ).select("segment_id", "ext_id", "score")
         else:
@@ -1075,8 +1114,8 @@ def bm25_topk_batch(
             spark, cat, cfg, want_idf=idf_by_term, want_df=df_by_term
         )
         live = set(df_by_term)
-        cached = (live & hot_terms) if hot_bc is not None else set()
-        if hot_bc is not None and live <= hot_terms:
+        cached = (live & hot_terms) if hot_bc else set()
+        if hot_bc and live <= hot_terms:
             partials = _batch_partials_cached(
                 spark, cat, qspecs, idf_by_term, hot_bc, norms_bc, batch_schema
             )
@@ -1163,7 +1202,6 @@ def _batch_partials_cached(
     ).repartition(npart, "segment_id")
 
     def score(it):
-        cache = hot_bc.value
         for pdf in it:
             for seg in pdf["segment_id"].to_numpy():
                 seg = int(seg)
@@ -1175,7 +1213,7 @@ def _batch_partials_cached(
                 n_docs = dls.size
                 term_post = {}
                 for t in idf_by_term:
-                    ent = cache.get(t, {}).get(seg)
+                    ent = (_cache_get(hot_bc, t) or {}).get(seg)
                     if ent is not None:
                         term_post[t] = (
                             np.frombuffer(ent[0], np.int32),

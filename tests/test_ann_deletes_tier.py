@@ -298,3 +298,61 @@ def test_missing_bq_rows_pure_hamming_reachable(spark, tmp_path):
         pairs += [(int(i), int(h)) for i, h in zip(ids, ham)]
     want = sorted(pairs, key=lambda t: (t[1], t[0]))[:10]
     assert got == want
+
+
+def test_full_rebuild_records_covers_tags(spark, tmp_path):
+    """A FULL rebuild of a derived table (build_ann_pq / build_ann_ivfpq
+    after streaming/merge appends tagged ann_flat) derives from the
+    CURRENT flat — it must record covers_tags, else _derived_in_sync
+    reads the fresh tagless entry as permanently stale and every later
+    query pays the crash-healing path forever."""
+    cat, df = _build(spark, str(tmp_path / "coverstags"), cfg=NOCOMPACT)
+    A.merge_ann(spark, cat, NOCOMPACT)  # tags ann_flat with ann_merge_gen_1
+    assert cat.read_manifest()["tables"]["ann_flat"].get("append_tags")
+    A.build_ann_pq(spark, cat, CFG)       # full rebuild (entry replaced)
+    A.build_ann_ivfpq(spark, cat, CFG)    # full rebuild from ivf ∩ pq
+    assert A._derived_in_sync(cat, "ann_pq")
+    assert A._derived_in_sync(cat, "ann_ivfpq")
+
+
+def test_delete_ann_dataframe_requires_ext_id_column(spark, tmp_path):
+    """delete_docs parity: a multi-column DataFrame without a named
+    ext_id column must raise — columns[0] of a (segment_id, ext_id)
+    slice would silently tombstone segment ids as ext ids."""
+    cat, df = _build(spark, str(tmp_path / "delcol"))
+    bad = spark.createDataFrame([(0, 5), (1, 45)], "segment_id long, vec long")
+    with pytest.raises(ValueError, match="ext_id"):
+        A.delete_ann(spark, cat, bad, CFG, auto_merge=False)
+    # named ext_id column wins regardless of position
+    ok = spark.createDataFrame(
+        [(0, 5), (1, 45)], "segment_id long, ext_id long"
+    )
+    A.delete_ann(spark, cat, ok, CFG, auto_merge=False)
+    got = {r["ext_id"] for r in A.ann_topk(
+        spark, cat, _vec(5), k=120, cfg=CFG, mode="exact"
+    ).collect()}
+    assert 5 not in got and 45 not in got and got
+
+
+def test_probe_mode_validated_and_shuffle_never_driver(spark, tmp_path, monkeypatch):
+    """Unknown probe_mode raises on both entry points; probe_mode='shuffle'
+    on the single-query path degrades to the DISTRIBUTED probe — never
+    the driver tier it was opting out of (poisoned driver pack)."""
+    cat, df = _build(spark, str(tmp_path / "probemode"))
+    with pytest.raises(ValueError, match="probe_mode"):
+        A.ann_topk(spark, cat, _vec(1), k=5, cfg=CFG, mode="ivf",
+                   probe_mode="bogus")
+    q = spark.createDataFrame(
+        [(0, _vec(1))], "q_id long, q_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="probe_mode"):
+        A.knn_join_ivf(spark, cat, q, k=3, probe_mode="bogus")
+
+    def poisoned_pack(*a, **k):
+        raise AssertionError("driver centroid pack used under probe_mode='shuffle'")
+
+    monkeypatch.setattr(A, "_centroid_pack", poisoned_pack)
+    got = A.ann_topk(
+        spark, cat, _vec(1), k=5, cfg=CFG, mode="ivf", probe_mode="shuffle"
+    ).collect()
+    assert len(got) == 5

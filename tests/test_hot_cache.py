@@ -117,3 +117,77 @@ def test_cache_invalidates_on_commit(spark, cat):
     bc, terms = B._hot_postings_broadcast(spark, cat, CFG)
     assert bc is not None and terms
     assert cat._hotpost_memo["ver"] == ver0  # same table state → same memo
+
+
+def test_cache_misses_on_different_bm25_params(spark, cat):
+    """Contributions bake (k1, b) in — a different cfg must rebuild the
+    cache, not silently reuse old-params scores (cache key check)."""
+    B.bm25_topk_batch(spark, cat, QSPECS, CFG).collect()  # builds under CFG
+    key0 = cat._hotpost_memo["ver"]
+    from cuvs_lucene_spark.config import BM25Params
+    cfg2 = IndexConfig(
+        rows_per_segment=100, block_size=16, term_buckets=8,
+        bm25=BM25Params(k1=0.5),
+    )
+    want = None
+    import pytest as _pt
+    mp = _pt.MonkeyPatch()
+    try:
+        mp.setattr(B, "_hot_postings_broadcast", lambda *a, **k: ((), frozenset()))
+        want = _rows(B.bm25_topk_batch(spark, cat, QSPECS, cfg2))
+    finally:
+        mp.undo()
+    got = _rows(B.bm25_topk_batch(spark, cat, QSPECS, cfg2))
+    assert got == want and want
+    assert cat._hotpost_memo["ver"] != key0  # rebuilt under the new params
+    # restore the default-params cache for later tests
+    cat._hotpost_memo = None
+
+
+def test_access_admission_ships_delta_broadcast(spark, cat, monkeypatch):
+    """Admitting new terms appends a DELTA broadcast layer (only the new
+    entries cross the wire) instead of re-broadcasting the whole cache;
+    layered lookups stay bit-identical to the scan path."""
+    extra = {"qx": {"terms": ["batch", "filter"], "mode": "or", "k": 5}}
+    with monkeypatch.context() as mp:
+        mp.setattr(B, "_hot_postings_broadcast", lambda *a, **k: ((), frozenset()))
+        want = _rows(B.bm25_topk_batch(spark, cat, extra, CFG))
+    with monkeypatch.context() as mp:
+        # tiny df-head → "window"/"stream" are NOT in the base cache and
+        # must arrive via access-driven delta admission
+        mp.setattr(B, "HOT_POSTINGS_TOP_N", 2)
+        cat._hotpost_memo = None
+        B._hot_postings_broadcast(spark, cat, CFG)  # head-only base build
+        hp = cat._hotpost_memo
+        base_layers = list(hp["bcs"])
+        base_terms = set(hp["terms"])
+        assert not ({"batch", "filter"} & base_terms)
+        got = _rows(B.bm25_topk_batch(spark, cat, extra, CFG))
+        assert got == want and want
+        hp = cat._hotpost_memo
+        assert {"batch", "filter"} <= set(hp["terms"])  # admitted
+        # base layer object(s) untouched; exactly one delta appended,
+        # carrying ONLY the newly admitted terms
+        assert hp["bcs"][: len(base_layers)] == base_layers
+        assert len(hp["bcs"]) == len(base_layers) + 1
+        delta = hp["bcs"][-1].value
+        assert set(delta) == set(hp["terms"]) - base_terms
+    cat._hotpost_memo = None
+
+
+def test_layer_consolidation_bounds_broadcast_count(spark, cat):
+    """More than HOT_POSTINGS_MAX_LAYERS admission rounds consolidate into
+    one broadcast — the layer list never grows unboundedly."""
+    cat._hotpost_memo = None
+    B._hot_postings_broadcast(spark, cat, CFG)
+    hp = cat._hotpost_memo
+    assert hp is not None
+    # synthesize many single-term admission rounds against the real API
+    pool = ["filter", "schema", "merge", "shuffle", "executor", "driver",
+            "catalyst", "arrow", "varint", "posting", "scalar", "binary"]
+    for t in pool:
+        B._hot_postings_broadcast(
+            spark, cat, CFG, want_idf={t: 1.0}, want_df={t: 5}
+        )
+        assert len(cat._hotpost_memo["bcs"]) <= B.HOT_POSTINGS_MAX_LAYERS + 1
+    cat._hotpost_memo = None
