@@ -286,6 +286,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        exclude=["slow"], cfg=CFG)
         .select(F.col("ext_id").alias("doc_id"))
     )
+    # Lucene BooleanQuery.setMinimumNumberShouldMatch: >=2 of 3 SHOULD
+    # terms, with a MUST_NOT — the >=m SHOULD count path end-to-end
+    q["boolean_min_should"] = lambda s, d: (
+        __import__("cuvs_lucene_spark.operators.bm25", fromlist=["boolean_query"])
+        .boolean_query(s, _index(s, d), any_of=Q_MULTI, exclude=["slow"],
+                       cfg=CFG, min_should_match=2)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
     q["stored_fetch"] = lambda s, d: fetch_stored(
         s, _index(s, d),
         bm25_topk(s, _index(s, d), Q_OR, k=5, cfg=CFG)
@@ -769,6 +777,9 @@ def oracle_sql() -> dict[str, str]:
     o["boolean_and_not"] = boolean_query_sql(must=[Q_AND[0]], exclude=[Q_AND[1]])
     o["boolean_mixed"] = boolean_query_sql(
         must=["dup"], any_of=Q_OR, exclude=["slow"]
+    )
+    o["boolean_min_should"] = boolean_query_sql(
+        any_of=Q_MULTI, exclude=["slow"], min_should_match=2
     )
     o["stored_fetch"] = f"""
 WITH topk AS ({bm25_sql(Q_OR, k=5)})

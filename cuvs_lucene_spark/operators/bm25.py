@@ -1318,14 +1318,21 @@ def boolean_query(
     any_of: list[str] | tuple = (),
     exclude: list[str] | tuple = (),
     cfg: IndexConfig | None = None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """Lucene ``BooleanQuery`` MATCHING semantics as set algebra over the
     posting lists (H5 generalized): ``must`` = every term required (MUST),
-    ``any_of`` = at least one required (SHOULD with minimumShouldMatch=1),
-    ``exclude`` = none may match (MUST_NOT). At least one positive clause
-    is required — a pure MUST_NOT query matches nothing, Lucene's own
-    rule. One pruned postings scan for the union of all clause terms; per
-    segment the sorted doc-id runs combine with numpy set ops; tombstones
+    ``any_of`` = SHOULD clauses of which at least ``min_should_match``
+    must match (``BooleanQuery.Builder.setMinimumNumberShouldMatch``),
+    ``exclude`` = none may match (MUST_NOT). Lucene's edge rules apply:
+    at least one positive clause is required (a pure MUST_NOT query
+    matches nothing); with MUST clauses present, ``min_should_match=0``
+    makes the SHOULD clauses non-constraining; without MUST clauses at
+    least one SHOULD must match regardless; ``min_should_match`` greater
+    than the SHOULD clause count matches nothing. One pruned postings
+    scan for the union of all clause terms; per segment the sorted
+    doc-id runs combine with numpy set ops (the >=m SHOULD count is a
+    unique-with-counts over the concatenated SHOULD doc runs); tombstones
     apply. Returns DataFrame(ext_id)."""
     cfg = cfg or IndexConfig()
     must = list(dict.fromkeys(must))
@@ -1335,6 +1342,11 @@ def boolean_query(
         raise ValueError(
             "at least one positive clause (must / any_of) is required"
         )
+    m_should = int(min_should_match)
+    if not must:
+        m_should = max(1, m_should)  # pure-SHOULD still needs one match
+    if m_should > len(any_of):
+        return spark.createDataFrame([], "ext_id long")  # Lucene: no hits
     all_terms = list(dict.fromkeys([*must, *any_of, *exclude]))
     postings = _query_postings(spark, cat, all_terms, cfg)
     aux = _aux_df(spark, cat, None)
@@ -1371,12 +1383,16 @@ def boolean_query(
             cur = d if cur is None else np.intersect1d(cur, d, assume_unique=True)
             if cur.size == 0:
                 return empty
-        if any_of:
+        if any_of and m_should > 0:
             parts = [docs_of(t) for t in any_of]
-            u = (
-                np.unique(np.concatenate(parts))
-                if parts else np.empty(0, np.int64)
+            allp = (
+                np.concatenate(parts) if parts else np.empty(0, np.int64)
             )
+            if m_should == 1:
+                u = np.unique(allp)
+            else:
+                u, cnt = np.unique(allp, return_counts=True)
+                u = u[cnt >= m_should]  # each term lists a doc at most once
             cur = u if cur is None else np.intersect1d(cur, u, assume_unique=True)
         for t in exclude:
             d = docs_of(t)

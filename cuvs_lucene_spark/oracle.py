@@ -118,18 +118,31 @@ def boolean_query_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     delete_pred: str | None = None,
+    min_should_match: int = 1,
 ) -> str:
-    """BooleanQuery matching oracle: MUST ∧ (≥1 SHOULD) ∧ ¬MUST_NOT."""
+    """BooleanQuery matching oracle: MUST ∧ (≥m SHOULD) ∧ ¬MUST_NOT
+    (m = ``min_should_match``, Lucene's setMinimumNumberShouldMatch)."""
     live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
     toks = TOKENS.format(col=text_col)
     preds = [live]
     preds += [f"list_contains({toks}, '{t}')" for t in dict.fromkeys(must)]
-    if any_of:
+    m = int(min_should_match)
+    if not must:
+        m = max(1, m)
+    if m > len(dict.fromkeys(any_of)):
+        preds.append("FALSE")  # Lucene: mSM > #SHOULD matches nothing
+    elif any_of and m == 1:
         preds.append(
             "(" + " OR ".join(
                 f"list_contains({toks}, '{t}')" for t in dict.fromkeys(any_of)
             ) + ")"
         )
+    elif any_of and m > 1:
+        counts = " + ".join(
+            f"CASE WHEN list_contains({toks}, '{t}') THEN 1 ELSE 0 END"
+            for t in dict.fromkeys(any_of)
+        )
+        preds.append(f"(({counts}) >= {m})")
     preds += [f"NOT list_contains({toks}, '{t}')" for t in dict.fromkeys(exclude)]
     return f"""
 SELECT {id_col}

@@ -265,13 +265,21 @@ def test_boolean_query_randomized_property(spark, cat):
         exclude = rng.sample(vocab, rng.randint(0, 2))
         if not must and not any_of:
             any_of = [rng.choice(vocab)]
+        # random minimumNumberShouldMatch, incl. 0 (non-constraining with
+        # MUST present) and > len(any_of) (matches nothing — Lucene rule)
+        msm = rng.randint(0, len(any_of) + 1)
         got = {r["ext_id"] for r in boolean_query(
-            spark, cat, must=must, any_of=any_of, exclude=exclude, cfg=CFG
+            spark, cat, must=must, any_of=any_of, exclude=exclude, cfg=CFG,
+            min_should_match=msm,
         ).collect()}
-        exp = {
-            i for i, t in docs.items()
-            if all(m in t for m in must)
-            and (not any_of or (t & set(any_of)))
-            and not (t & set(exclude))
-        }
-        assert got == exp, (trial, must, any_of, exclude)
+        m_eff = msm if must else max(1, msm)
+        if m_eff > len(any_of):
+            exp = set()
+        else:
+            exp = {
+                i for i, t in docs.items()
+                if all(m in t for m in must)
+                and len(t & set(any_of)) >= m_eff
+                and not (t & set(exclude))
+            }
+        assert got == exp, (trial, must, any_of, exclude, msm)
