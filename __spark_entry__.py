@@ -283,7 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["boolean_mixed"] = lambda s, d: (
         __import__("cuvs_lucene_spark.operators.bm25", fromlist=["boolean_query"])
         .boolean_query(s, _index(s, d), must=["dup"], any_of=Q_OR,
-                       exclude=["slow"], cfg=CFG)
+                       exclude=["slow"], cfg=CFG, min_should_match=1)
         .select(F.col("ext_id").alias("doc_id"))
     )
     # Lucene BooleanQuery.setMinimumNumberShouldMatch: >=2 of 3 SHOULD
@@ -293,6 +293,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .boolean_query(s, _index(s, d), any_of=Q_MULTI, exclude=["slow"],
                        cfg=CFG, min_should_match=2)
         .select(F.col("ext_id").alias("doc_id"))
+    )
+    # SCORED BooleanQuery (H5+H6): BM25 sum over matched MUST/SHOULD
+    # clauses under MUST ∧ (>=2 SHOULD) ∧ ¬MUST_NOT, prohibited clauses
+    # non-scoring — Lucene's BooleanQuery ranking end-to-end
+    q["bm25_boolean"] = lambda s, d: _bm25_out(
+        __import__(
+            "cuvs_lucene_spark.operators.bm25", fromlist=["bm25_boolean_topk"]
+        ).bm25_boolean_topk(
+            s, _index(s, d), must=["join"], should=Q_MULTI,
+            exclude=["slow"], min_should_match=2, k=10, cfg=CFG,
+        )
     )
     q["stored_fetch"] = lambda s, d: fetch_stored(
         s, _index(s, d),
@@ -776,10 +787,16 @@ def oracle_sql() -> dict[str, str]:
     o["boolean_or"] = boolean_query_sql(any_of=Q_OR)
     o["boolean_and_not"] = boolean_query_sql(must=[Q_AND[0]], exclude=[Q_AND[1]])
     o["boolean_mixed"] = boolean_query_sql(
-        must=["dup"], any_of=Q_OR, exclude=["slow"]
+        must=["dup"], any_of=Q_OR, exclude=["slow"], min_should_match=1
     )
     o["boolean_min_should"] = boolean_query_sql(
         any_of=Q_MULTI, exclude=["slow"], min_should_match=2
+    )
+    from cuvs_lucene_spark.oracle import bm25_boolean_sql
+
+    o["bm25_boolean"] = bm25_boolean_sql(
+        must=["join"], should=Q_MULTI, exclude=["slow"],
+        min_should_match=2, k=10,
     )
     o["stored_fetch"] = f"""
 WITH topk AS ({bm25_sql(Q_OR, k=5)})

@@ -413,6 +413,7 @@ def _score_one_query(
     R: int,
     decoded: dict,
     visited_limit: int | None = None,
+    bq: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Score one query against one segment with block-max range pruning.
     ``decoded`` is a shared (term, block) → (docs, tfs) cache so batched
@@ -421,13 +422,30 @@ def _score_one_query(
     ``visited_limit`` caps the docs visited per segment (the collector
     visit budget, ``GPUPerLeafCuVSKnnCollector.java:26-38``): ranges are
     visited best-bound-first, so an exhausted budget degrades tail recall
-    gracefully — never errors, never drops an already-collected hit."""
+    gracefully — never errors, never drops an already-collected hit.
+
+    ``bq`` turns the scorer into Lucene's scored ``BooleanQuery``
+    (sum of BM25 contributions over the MATCHED positive clauses):
+    ``{"must_set", "should_set", "msm", "exclude"}`` — every must term
+    required, at least ``msm`` should terms required, exclude terms
+    reject the doc and never score. ``terms`` then holds the scoring
+    (must+should) terms only; the range upper bounds stay valid because
+    clause constraints only REMOVE candidate docs."""
     n_docs = dls.size
     norm_denom = k1 * (1.0 - b + b * dls / avgdl)  # per-doc BM25 denominator part
 
     present = [t for t in terms if t in per_term and per_term[t]["block_id"].size]
     if mode == "and" and len(present) < len(terms):
         return None
+    if bq is not None:
+        # a must term with no postings in this segment → nothing can match;
+        # fewer present should terms than msm → the count is unreachable
+        if any(t not in per_term or not per_term[t]["block_id"].size
+               for t in bq["must_set"]):
+            return None
+        n_should_present = sum(1 for t in present if t in bq["should_set"])
+        if bq["msm"] > n_should_present:
+            return None
     if not present:
         return None
 
@@ -459,6 +477,18 @@ def _score_one_query(
             np.maximum(tmax[r0[j] : r1[j] + 1], ub[j], out=tmax[r0[j] : r1[j] + 1])
         range_ub += tmax
 
+    # MUST_NOT spans (bq only): exclude terms never score, they only veto
+    ex_spans = {}
+    if bq is not None:
+        for t in bq["exclude"]:
+            p = per_term.get(t)
+            if p is None or not p["block_id"].size:
+                continue
+            ex_spans[t] = (
+                p["first_doc"].astype(np.int64) // R,
+                p["last_doc"].astype(np.int64) // R,
+            )
+
     order = np.argsort(-range_ub, kind="stable")
     cand_docs: list[np.ndarray] = []
     cand_scores: list[np.ndarray] = []
@@ -477,13 +507,23 @@ def _score_one_query(
         n_visited += hi - lo
         acc = np.zeros(hi - lo, dtype=np.float64)
         nterms_hit = np.zeros(hi - lo, dtype=np.int32) if mode == "and" else None
+        nmust_hit = (
+            np.zeros(hi - lo, dtype=np.int32)
+            if bq is not None and bq["must_set"]
+            else None
+        )
+        nshould_hit = (
+            np.zeros(hi - lo, dtype=np.int32)
+            if bq is not None and bq["msm"] > 0
+            else None
+        )
         for t in present:
             p = per_term[t]
             r0, r1 = spans[t]
             sel = np.flatnonzero((r0 <= r) & (r1 >= r))
             if sel.size == 0:
-                if mode == "and":
-                    acc = None
+                if mode == "and" or (bq is not None and t in bq["must_set"]):
+                    acc = None  # a required term misses this whole range
                     break
                 continue
             t_idf = idf_by_term[t]
@@ -504,12 +544,42 @@ def _score_one_query(
                 acc[d] += contrib
                 if mode == "and":
                     nterms_hit[d] += 1
+                if bq is not None:
+                    # a doc appears in exactly one block per term, so each
+                    # clause is counted at most once per doc
+                    if nmust_hit is not None and t in bq["must_set"]:
+                        nmust_hit[d] += 1
+                    elif nshould_hit is not None and t in bq["should_set"]:
+                        nshould_hit[d] += 1
         if acc is None:
             continue
+        excl_mask = None
+        for t, (er0, er1) in ex_spans.items():
+            p = per_term[t]
+            for j in np.flatnonzero((er0 <= r) & (er1 >= r)):
+                key = (t, int(p["block_id"][j]))
+                if key not in decoded:
+                    decoded[key] = (
+                        np.cumsum(varint_decode(p["doc_deltas"][j]), dtype=np.int64),
+                        varint_decode(p["tfs"][j]),
+                    )
+                docs, _tfs = decoded[key]
+                m = (docs >= lo) & (docs < hi)
+                if m.any():
+                    if excl_mask is None:
+                        excl_mask = np.zeros(hi - lo, dtype=bool)
+                    excl_mask[docs[m] - lo] = True
         live = alive[lo:hi]
         hit = (acc > 0) & live
         if mode == "and":
             hit &= nterms_hit == len(present)
+        if bq is not None:
+            if nmust_hit is not None:
+                hit &= nmust_hit == len(bq["must_set"])
+            if nshould_hit is not None:
+                hit &= nshould_hit >= bq["msm"]
+            if excl_mask is not None:
+                hit &= ~excl_mask
         idxs = np.flatnonzero(hit)
         if idxs.size == 0:
             continue
@@ -541,6 +611,7 @@ def make_scorer(
     filter_active: bool = False,
     norms_bc=None,
     visited_limit: int | None = None,
+    bq: dict | None = None,
 ):
     """Build the per-segment scoring UDF (S1 analogue).
 
@@ -556,6 +627,9 @@ def make_scorer(
     k1, b = cfg.bm25.k1, cfg.bm25.b
     R = cfg.prune_range
     terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
+    # scored BooleanQuery (bq): exclude terms ride the postings scan for the
+    # veto mask but never enter the scoring term list
+    wanted = set(terms) | (set(bq["exclude"]) if bq is not None else set())
 
     def score_segment(postings: pd.DataFrame, aux: pd.DataFrame | None) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -589,10 +663,10 @@ def make_scorer(
         alive = _alive_mask(dls.size, tomb, allowed)
         if not alive.any():
             return empty
-        per_term = _group_postings(postings, set(terms))
+        per_term = _group_postings(postings, wanted)
         res = _score_one_query(
             per_term, terms, idf_by_term, dls, ext_ids, alive, avgdl, k, mode,
-            k1, b, R, {}, visited_limit=visited_limit,
+            k1, b, R, {}, visited_limit=visited_limit, bq=bq,
         )
         if res is None:
             return empty
@@ -1080,6 +1154,116 @@ def bm25_topk(
     )
 
 
+def bm25_boolean_topk(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    must: list[str] | tuple = (),
+    should: list[str] | tuple = (),
+    exclude: list[str] | tuple = (),
+    min_should_match: int = 0,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    filter_ext_ids: DataFrame | None = None,
+    visited_limit: int | None = None,
+) -> DataFrame:
+    """Lucene's SCORED ``BooleanQuery`` over BM25 term clauses (H5+H6
+    combined): score = sum of BM25 contributions of the MATCHED positive
+    clauses; a doc matches iff it contains every ``must`` term, at least
+    ``min_should_match`` of the ``should`` terms, and no ``exclude`` term
+    (``MUST_NOT`` never scores — Lucene's prohibited clauses are
+    non-scoring). Defaults follow ``BooleanQuery``: msm is 0 when MUST
+    clauses exist (SHOULD then only boosts score), else effectively 1;
+    msm greater than the SHOULD count matches nothing. Stats (N, avgdl,
+    df→idf) are over live docs, global — boolean structure restricts
+    candidates, never statistics, matching ``BM25Similarity``.
+
+    Same physical shape as :func:`bm25_topk` — one pruned postings scan
+    for all clause terms (exclude terms ride the scan as a veto mask),
+    per-segment block-max scoring, global top-k (score desc, ext_id asc).
+    Returns DataFrame(ext_id, score)."""
+    cfg = cfg or IndexConfig()
+    must = list(dict.fromkeys(must))
+    should = list(dict.fromkeys(should))
+    exclude = list(dict.fromkeys(exclude))
+    overlap = (set(must) | set(should)) & set(exclude) | (set(must) & set(should))
+    if overlap:
+        raise ValueError(
+            f"terms appear in more than one clause list: {sorted(overlap)}"
+        )
+    if not must and not should:
+        raise ValueError(
+            "at least one positive clause (must / should) is required"
+        )
+    empty = spark.createDataFrame([], "ext_id long, score double")
+    msm = int(min_should_match)
+    if not must:
+        msm = max(1, msm)  # pure-SHOULD still needs one match (Lucene)
+    if k <= 0 or msm > len(should):
+        return empty
+    scoring = must + should
+    postings = _query_postings(spark, cat, scoring + exclude, cfg)
+    n, avgdl, df_by_term = _live_stats_and_df(
+        spark, cat, scoring, cfg, postings, filter_ext_ids
+    )
+    df_by_term = {t: d for t, d in df_by_term.items() if d > 0}
+    if n == 0:
+        return empty
+    if any(t not in df_by_term for t in must):
+        return empty  # a required term matches no live doc
+    live_should = [t for t in should if t in df_by_term]
+    if msm > len(live_should):
+        return empty  # not enough satisfiable SHOULD clauses
+    if not df_by_term:
+        return empty
+    idf_by_term = {t: idf(n, d) for t, d in df_by_term.items()}
+    scoring_live = [t for t in scoring if t in df_by_term]
+    bqspec = {
+        "must_set": set(must),
+        "should_set": set(live_should),
+        "msm": msm,
+        "exclude": exclude,
+    }
+    allowed_ext = None
+    aux_filter = filter_ext_ids
+    if filter_ext_ids is not None:
+        head = filter_ext_ids.limit(FILTER_BROADCAST_MAX + 1).collect()
+        if len(head) <= FILTER_BROADCAST_MAX:
+            allowed_ext = np.sort(np.array([r[0] for r in head], dtype=np.int64))
+            aux_filter = None
+    fast = (
+        aux_filter is None
+        and not _has_tombstones(spark, cat)
+        and n <= NORMS_BROADCAST_MAX_DOCS
+    )
+    if fast:
+        norms_bc = _norms_broadcast(spark, cat)
+        scorer = make_scorer(
+            scoring_live, idf_by_term, avgdl, k, cfg, "or",
+            allowed_ext=allowed_ext, norms_bc=norms_bc,
+            visited_limit=visited_limit, bq=bqspec,
+        )
+        partials = postings.groupby("segment_id").applyInPandas(
+            lambda p: scorer(p, None), SCORE_SCHEMA
+        )
+    else:
+        scorer = make_scorer(
+            scoring_live, idf_by_term, avgdl, k, cfg, "or",
+            allowed_ext=allowed_ext, filter_active=aux_filter is not None,
+            visited_limit=visited_limit, bq=bqspec,
+        )
+        aux = _aux_df(spark, cat, aux_filter)
+        partials = (
+            postings.groupby("segment_id")
+            .cogroup(aux.groupby("segment_id"))
+            .applyInPandas(lambda _k, p, a: scorer(p, a), SCORE_SCHEMA)
+        )
+    return (
+        partials.orderBy(F.desc("score"), F.asc("ext_id"))
+        .limit(k)
+        .select("ext_id", "score")
+    )
+
+
 def bm25_topk_batch(
     spark: SparkSession,
     cat: IndexCatalog,
@@ -1318,20 +1502,21 @@ def boolean_query(
     any_of: list[str] | tuple = (),
     exclude: list[str] | tuple = (),
     cfg: IndexConfig | None = None,
-    min_should_match: int = 1,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Lucene ``BooleanQuery`` MATCHING semantics as set algebra over the
     posting lists (H5 generalized): ``must`` = every term required (MUST),
     ``any_of`` = SHOULD clauses of which at least ``min_should_match``
     must match (``BooleanQuery.Builder.setMinimumNumberShouldMatch``),
-    ``exclude`` = none may match (MUST_NOT). Lucene's edge rules apply:
-    at least one positive clause is required (a pure MUST_NOT query
-    matches nothing); with MUST clauses present, ``min_should_match=0``
-    makes the SHOULD clauses non-constraining; without MUST clauses at
-    least one SHOULD must match regardless; ``min_should_match`` greater
-    than the SHOULD clause count matches nothing. One pruned postings
-    scan for the union of all clause terms; per segment the sorted
-    doc-id runs combine with numpy set ops (the >=m SHOULD count is a
+    ``exclude`` = none may match (MUST_NOT). Lucene's rules apply
+    exactly: at least one positive clause is required (a pure MUST_NOT
+    query matches nothing); ``min_should_match=None`` is the Builder
+    default — 0 with MUST clauses present (SHOULD is then optional),
+    1 otherwise; an EXPLICIT value is honored strictly, so a value
+    greater than the SHOULD clause count matches nothing (including any
+    positive value with zero SHOULD clauses). One pruned postings scan
+    for the union of all clause terms; per segment the sorted doc-id
+    runs combine with numpy set ops (the >=m SHOULD count is a
     unique-with-counts over the concatenated SHOULD doc runs); tombstones
     apply. Returns DataFrame(ext_id)."""
     cfg = cfg or IndexConfig()
@@ -1342,7 +1527,7 @@ def boolean_query(
         raise ValueError(
             "at least one positive clause (must / any_of) is required"
         )
-    m_should = int(min_should_match)
+    m_should = 0 if min_should_match is None else int(min_should_match)
     if not must:
         m_should = max(1, m_should)  # pure-SHOULD still needs one match
     if m_should > len(any_of):

@@ -118,35 +118,77 @@ def boolean_query_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     delete_pred: str | None = None,
-    min_should_match: int = 1,
+    min_should_match: int | None = None,
 ) -> str:
     """BooleanQuery matching oracle: MUST ∧ (≥m SHOULD) ∧ ¬MUST_NOT
-    (m = ``min_should_match``, Lucene's setMinimumNumberShouldMatch)."""
+    (m = ``min_should_match``, Lucene's setMinimumNumberShouldMatch;
+    None = Builder default — 0 with MUST present, else 1)."""
     live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    match = _bool_match_pred(must, any_of, exclude, min_should_match, text_col)
+    return f"""
+SELECT {id_col}
+FROM {table}
+WHERE {live} AND {match}
+ORDER BY {id_col}
+""".strip()
+
+
+def _bool_match_pred(
+    must, any_of, exclude, min_should_match: int | None, text_col: str
+) -> str:
+    """SQL predicate for BooleanQuery matching: MUST ∧ (≥m SHOULD) ∧
+    ¬MUST_NOT, with Lucene's msm normalization (None = Builder default:
+    0 with MUST present, else 1; an explicit m > #SHOULD matches
+    nothing)."""
     toks = TOKENS.format(col=text_col)
-    preds = [live]
-    preds += [f"list_contains({toks}, '{t}')" for t in dict.fromkeys(must)]
-    m = int(min_should_match)
+    must = list(dict.fromkeys(must))
+    any_of = list(dict.fromkeys(any_of))
+    exclude = list(dict.fromkeys(exclude))
+    preds = [f"list_contains({toks}, '{t}')" for t in must]
+    m = 0 if min_should_match is None else int(min_should_match)
     if not must:
         m = max(1, m)
-    if m > len(dict.fromkeys(any_of)):
+    if m > len(any_of):
         preds.append("FALSE")  # Lucene: mSM > #SHOULD matches nothing
     elif any_of and m == 1:
         preds.append(
             "(" + " OR ".join(
-                f"list_contains({toks}, '{t}')" for t in dict.fromkeys(any_of)
+                f"list_contains({toks}, '{t}')" for t in any_of
             ) + ")"
         )
     elif any_of and m > 1:
         counts = " + ".join(
             f"CASE WHEN list_contains({toks}, '{t}') THEN 1 ELSE 0 END"
-            for t in dict.fromkeys(any_of)
+            for t in any_of
         )
         preds.append(f"(({counts}) >= {m})")
-    preds += [f"NOT list_contains({toks}, '{t}')" for t in dict.fromkeys(exclude)]
-    return f"""
-SELECT {id_col}
-FROM {table}
-WHERE {" AND ".join(preds)}
-ORDER BY {id_col}
-""".strip()
+    preds += [f"NOT list_contains({toks}, '{t}')" for t in exclude]
+    return "(" + " AND ".join(preds or ["TRUE"]) + ")"
+
+
+def bm25_boolean_sql(
+    must: list[str] = (),
+    should: list[str] = (),
+    exclude: list[str] = (),
+    min_should_match: int = 0,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """Scored-BooleanQuery oracle: BM25 sum over the matched positive
+    (must+should) clauses, restricted to docs matching MUST ∧ (≥m SHOULD)
+    ∧ ¬MUST_NOT. msm defaults to 0 with MUST clauses present, else 1 —
+    ``BooleanQuery`` semantics. Stats stay global (match restricts
+    candidates, not df/avgdl), so this is :func:`bm25_sql` with the
+    boolean match as the candidate filter."""
+    m = int(min_should_match)
+    if not list(must):
+        m = max(1, m)
+    match = _bool_match_pred(must, should, exclude, m, text_col)
+    scoring = list(dict.fromkeys([*must, *should]))
+    return bm25_sql(
+        scoring, k=k, mode="or", table=table, id_col=id_col,
+        text_col=text_col, filter_pred=match, delete_pred=delete_pred,
+    )

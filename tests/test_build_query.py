@@ -233,10 +233,17 @@ def test_boolean_query_matching_semantics(spark, cat):
     assert got_not == {i for i, t in docs.items() if "dup" in t and "slow" not in t}
     got_mix = {r["ext_id"] for r in boolean_query(
         spark, cat, must=["dup"], any_of=["join", "vector"], exclude=["slow"],
-        cfg=CFG).collect()}
+        cfg=CFG, min_should_match=1).collect()}
     assert got_mix == {
         i for i, t in docs.items()
         if "dup" in t and (t & {"join", "vector"}) and "slow" not in t
+    }
+    # Lucene Builder DEFAULT msm: 0 with MUST present -> SHOULD optional
+    got_dflt = {r["ext_id"] for r in boolean_query(
+        spark, cat, must=["dup"], any_of=["join", "vector"], exclude=["slow"],
+        cfg=CFG).collect()}
+    assert got_dflt == {
+        i for i, t in docs.items() if "dup" in t and "slow" not in t
     }
     with _pytest.raises(ValueError):
         boolean_query(spark, cat, exclude=["dup"], cfg=CFG)
@@ -283,3 +290,72 @@ def test_boolean_query_randomized_property(spark, cat):
                 and not (t & set(exclude))
             }
         assert got == exp, (trial, must, any_of, exclude, msm)
+
+
+BQ_SCORED = [
+    # (must, should, exclude, msm)
+    (["join"], ["vector", "spark"], [], 0),        # MUST + boosting SHOULD
+    (["join"], ["vector", "spark", "dup"], ["slow"], 2),  # >=2-of-3 count path
+    ([], ["spark", "customer", "dup"], [], 2),     # pure-SHOULD with msm
+    (["join", "vector"], [], ["slow"], 0),         # MUST-only with MUST_NOT
+    ([], ["join", "zzz_not_in_corpus"], [], 1),    # df-0 SHOULD term dropped
+    (["zzz_not_in_corpus"], ["join"], [], 0),      # df-0 MUST -> empty
+    ([], ["join"], [], 2),                         # msm > #SHOULD -> empty
+]
+
+
+@pytest.mark.parametrize("must,should,exclude,msm", BQ_SCORED)
+def test_bm25_boolean_rank_identical(spark, cat, must, should, exclude, msm):
+    """Scored BooleanQuery (BM25 sum over matched positive clauses under
+    MUST / >=msm SHOULD / MUST_NOT constraints) is rank-identical to the
+    DuckDB oracle, including Lucene's msm edge rules."""
+    from cuvs_lucene_spark.operators.bm25 import bm25_boolean_topk
+    from cuvs_lucene_spark.oracle import bm25_boolean_sql
+
+    got = [
+        (r["ext_id"], round(r["score"], 6))
+        for r in bm25_boolean_topk(
+            spark, cat, must=must, should=should, exclude=exclude,
+            min_should_match=msm, k=10, cfg=CFG,
+        ).collect()
+    ]
+    exp = [(i, round(s, 6)) for i, s in
+           _duck(bm25_boolean_sql(must, should, exclude, msm, k=10))]
+    assert got == exp
+
+
+def test_bm25_boolean_cogroup_tier(spark, cat, monkeypatch):
+    """The packed-aux cogroup wiring (the >NORMS_BROADCAST_MAX_DOCS /
+    tombstone tier) scores the boolean query identically to the
+    broadcast-norms fast path."""
+    from cuvs_lucene_spark.operators import bm25 as bm25_mod
+    from cuvs_lucene_spark.operators.bm25 import bm25_boolean_topk
+    from cuvs_lucene_spark.oracle import bm25_boolean_sql
+
+    monkeypatch.setattr(bm25_mod, "NORMS_BROADCAST_MAX_DOCS", 0)
+    got = [
+        (r["ext_id"], round(r["score"], 6))
+        for r in bm25_boolean_topk(
+            spark, cat, must=["join"], should=["vector", "spark", "dup"],
+            exclude=["slow"], min_should_match=1, k=10, cfg=CFG,
+        ).collect()
+    ]
+    exp = [(i, round(s, 6)) for i, s in _duck(
+        bm25_boolean_sql(["join"], ["vector", "spark", "dup"], ["slow"], 1, k=10)
+    )]
+    assert got == exp
+
+
+def test_bm25_boolean_input_validation(spark, cat):
+    from cuvs_lucene_spark.operators.bm25 import bm25_boolean_topk
+
+    with pytest.raises(ValueError):
+        bm25_boolean_topk(spark, cat, exclude=["dup"], cfg=CFG)
+    with pytest.raises(ValueError):
+        bm25_boolean_topk(
+            spark, cat, must=["dup"], should=["dup"], cfg=CFG
+        )
+    with pytest.raises(ValueError):
+        bm25_boolean_topk(
+            spark, cat, must=["dup"], exclude=["dup"], cfg=CFG
+        )
