@@ -135,6 +135,16 @@ def main():
     # warm repeat: stats + norms memoized → the steady-state single-query
     # latency a long-lived service pays (one Spark job)
     timed("q_hot_warm", lambda: bm25_topk(spark, cat, ["join"], k=10, cfg=cfg).collect())
+    # scored BooleanQuery (MUST / >=2 SHOULD / MUST_NOT) — H5+H6 combined
+    from cuvs_lucene_spark.operators.bm25 import bm25_boolean_topk
+
+    timed(
+        "q_boolean",
+        lambda: bm25_boolean_topk(
+            spark, cat, must=["join"], should=["spark", "customer", "dup"],
+            exclude=["slow"], min_should_match=2, k=10, cfg=cfg,
+        ).collect(),
+    )
 
     # --- batched query throughput (one Spark job for the whole batch) ---
     from cuvs_lucene_spark.operators.bm25 import bm25_topk_batch
