@@ -648,9 +648,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select(F.col("ext_id").alias("vec_id"), F.round("score", 6).alias("score"))
 
     # ---- dedup / similarity ----
-    q["dedup_exact"] = lambda s, d: dd.exact_dedup(_docs(s, d)).select(
-        "fingerprint", "n_dups", "keep_id"
-    )
+    # planted duplicates (id-shifted self-union) keep this row
+    # non-degenerate: the corpus itself has no full-text dups, and a
+    # 0-row==0-row compare can't catch a both-sides-broken regression
+    q["dedup_exact"] = lambda s, d: dd.exact_dedup(
+        _docs(s, d).select("doc_id", "text").unionByName(
+            _docs(s, d).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    ).select("fingerprint", "n_dups", "keep_id")
     q["fingerprint_groups"] = lambda s, d: (
         dd.exact_dedup(_docs(s, d).select("doc_id", F.substring("text", 1, 40).alias("text")))
         .select("fingerprint", "n_dups", "keep_id")
@@ -932,7 +939,11 @@ SELECT vec_id, hamming FROM ham ORDER BY hamming ASC, vec_id ASC LIMIT 10
 
     o["dedup_exact"] = f"""
 SELECT fingerprint, count(*)::INT AS n_dups, min(doc_id) AS keep_id
-FROM (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fingerprint FROM documents)
+FROM (
+  SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fingerprint
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents)
+)
 GROUP BY fingerprint HAVING count(*) > 1
 """.strip()
     tok40 = TOKENS.format(col="substr(text, 1, 40)")

@@ -79,8 +79,9 @@ build2_sec = time.time() - t0
 
 vocab = ["def", "import", "return", "self", "class", "string", "public",
          "fn", "let", "const", "var", "func", "int", "new", "if", "for"]
+batch_n = int(os.environ.get("SCALING_BATCH", "1024"))
 batch = {f"q{i}": {"terms": [vocab[i %% len(vocab)], f"func_{i*7 %% 500}"],
-                   "mode": "or", "k": 10} for i in range(1024)}
+                   "mode": "or", "k": 10} for i in range(batch_n)}
 t0 = time.time()
 nres = bm25_topk_batch(spark, cat, batch, cfg).count()
 query_cold_sec = time.time() - t0
@@ -99,7 +100,7 @@ print(json.dumps({"cpus": cpus, "build_sec": round(build_sec, 2),
                   "files_per_sec_steady": round(n_docs / build2_sec, 1),
                   "query_sec": round(query_sec, 2),
                   "query_cold_sec": round(query_cold_sec, 2),
-                  "qps": round(1024 / query_sec, 2),
+                  "qps": round(batch_n / query_sec, 2), "batch_n": batch_n,
                   "n_results": nres, "result_hash": rh}))
 import shutil
 shutil.rmtree(tmp, ignore_errors=True)
@@ -150,7 +151,7 @@ def summarize(runs: list[dict], n_docs: int) -> dict:
         query_sec=qs[0], query_sec_median=qs[len(qs) // 2],
         files_per_sec=round(n_docs / bs[0], 1),
         files_per_sec_steady=round(n_docs / b2[0], 1),
-        qps=round(1024 / qs[0], 2),
+        qps=round(runs[0].get("batch_n", 1024) / qs[0], 2),
         n_runs=len(runs),
     )
     return out
@@ -276,9 +277,12 @@ Reproduce: `python tools/scaling.py {n_docs} 3`. Per-op timings at sf0.1:
     # Do NOT clobber the hand-maintained BENCH.md (it carries re-measure
     # tables, crossover notes, and methodology sections beyond this
     # template): write the study output next to it; merge by hand.
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+    # SCALING_OUT_SUFFIX lets supplementary studies (e.g. a larger batch
+    # size) write next to the canonical artifacts instead of clobbering them
+    suffix = os.environ.get("SCALING_OUT_SUFFIX", "")
+    with open(os.path.join(REPO, f"BENCH_SCALING{suffix}.md"), "w") as f:
         f.write(md)
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    with open(os.path.join(REPO, f"BENCH_SCALING{suffix}.json"), "w") as f:
         json.dump({"low": low, "high": high, "eff_build": eff_build,
                    "eff_build_steady": eff_build_steady,
                    "eff_query": eff_query, "pair_build": pair_build,
