@@ -341,6 +341,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round("score", 6).alias("score"), "rank")
     )
 
+    # batched scored BooleanQueries (the serving-tier shape): boolean
+    # specs mixed with a plain spec in ONE batch job
+    q["bm25_batch_boolean"] = lambda s, d: (
+        __import__("cuvs_lucene_spark.operators.bm25", fromlist=["bm25_topk_batch"])
+        .bm25_topk_batch(
+            s, _index(s, d),
+            {"p0": {"terms": Q_OR, "mode": "or", "k": 5},
+             "b0": {"must": ["join"], "should": Q_MULTI,
+                    "exclude": ["slow"], "min_should_match": 2, "k": 5},
+             "b1": {"should": Q_MULTI, "min_should_match": 2, "k": 5}},
+            CFG,
+        )
+        .select("query_id", F.col("ext_id").alias("doc_id"),
+                F.round("score", 6).alias("score"), "rank")
+    )
+
     # ---- ANN sidecar ----
     q["ann_exact_cosine"] = lambda s, d: exact_knn_expr(
         _embs(s, d), _qvec(s, d, 0), 10
@@ -822,6 +838,24 @@ FROM documents d JOIN topk USING (doc_id)
             f"FROM ({inner})"
         )
     o["bm25_batch"] = "\nUNION ALL\n".join(batch_parts)
+
+    bb_parts = [
+        f"SELECT 'p0' AS query_id, doc_id, score,\n"
+        f"  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank\n"
+        f"FROM ({bm25_sql(Q_OR, k=5)})"
+    ]
+    for qid, kw in {
+        "b0": dict(must=["join"], should=Q_MULTI, exclude=["slow"],
+                   min_should_match=2),
+        "b1": dict(should=Q_MULTI, min_should_match=2),
+    }.items():
+        inner = bm25_boolean_sql(k=5, **kw)
+        bb_parts.append(
+            f"SELECT '{qid}' AS query_id, doc_id, score,\n"
+            f"  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank\n"
+            f"FROM ({inner})"
+        )
+    o["bm25_batch_boolean"] = "\nUNION ALL\n".join(bb_parts)
 
     o["knn_join"] = """
 WITH scored AS (

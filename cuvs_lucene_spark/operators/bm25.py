@@ -691,18 +691,33 @@ def _score_batch_queries(
     """Per-segment batch scoring core shared by the scan path and the
     impact-cache path: ``term_post`` maps term → (doc ids, per-doc BM25
     contribution); each query is a fancy-indexed add of its terms'
-    contribution arrays + an exact tie-broken top-k."""
+    contribution arrays + an exact tie-broken top-k.
+
+    A spec with a ``_bq`` entry (normalized by :func:`bm25_topk_batch`)
+    is a scored BooleanQuery: ``terms`` holds the scoring (must+should)
+    terms, ``_bq`` carries ``{"must_set", "should_set", "msm",
+    "exclude"}`` — same clause semantics as :func:`bm25_boolean_topk`."""
     q_out: list[np.ndarray] = []
     e_out: list[np.ndarray] = []
     s_out: list[np.ndarray] = []
     for qid, spec in qspecs.items():
         terms = [t for t in dict.fromkeys(spec["terms"]) if t in idf_by_term]
         mode = spec.get("mode", "or")
+        bqs = spec.get("_bq")
         if mode == "and" and len(terms) < len(set(spec["terms"])):
             continue
         present = [t for t in terms if t in term_post]
         if not present or (mode == "and" and len(present) < len(terms)):
             continue
+        if bqs is not None:
+            # every must term needs live postings IN THIS SEGMENT; enough
+            # should terms must be present to reach the msm count
+            if any(t not in term_post or t not in idf_by_term
+                   for t in bqs["must_set"]):
+                continue
+            pres_should = [t for t in present if t in bqs["should_set"]]
+            if bqs["msm"] > len(pres_should):
+                continue
         acc = np.zeros(n_docs, dtype=np.float64)
         for t in present:
             d, c = term_post[t]
@@ -715,6 +730,21 @@ def _score_batch_queries(
             for t in present:
                 nh[term_post[t][0]] += 1
             hit &= nh == len(present)
+        if bqs is not None:
+            if bqs["must_set"]:
+                nm = np.zeros(n_docs, dtype=np.int32)
+                for t in bqs["must_set"]:
+                    nm[term_post[t][0]] += 1
+                hit &= nm == len(bqs["must_set"])
+            if bqs["msm"] > 0:
+                ns = np.zeros(n_docs, dtype=np.int32)
+                for t in pres_should:
+                    ns[term_post[t][0]] += 1
+                hit &= ns >= bqs["msm"]
+            for t in bqs["exclude"]:
+                tp = term_post.get(t)
+                if tp is not None:
+                    hit[tp[0]] = False  # MUST_NOT veto, never scored
         idxs = np.flatnonzero(hit)
         if idxs.size == 0:
             continue
@@ -1264,6 +1294,55 @@ def bm25_boolean_topk(
     )
 
 
+def _normalize_batch_specs(qspecs: dict[str, dict]) -> dict[str, dict]:
+    """Validate and normalize batch query specs. Plain specs
+    (``{"terms", "mode", "k"}``) pass through; boolean specs (any of
+    ``must`` / ``should`` / ``exclude`` / ``min_should_match`` present)
+    become ``{"terms": must+should, "mode": "or", "k", "_bq": {...}}``
+    with Lucene's msm normalization (None default = 0 with MUST present,
+    else 1; explicit msm > #SHOULD matches nothing → the query is
+    dropped from the batch, contributing zero rows)."""
+    out: dict[str, dict] = {}
+    for qid, s in qspecs.items():
+        if not ({"must", "should", "exclude", "min_should_match"} & set(s)):
+            out[qid] = s
+            continue
+        if "terms" in s or "mode" in s:
+            raise ValueError(
+                f"{qid}: boolean spec must not also carry terms/mode"
+            )
+        must = list(dict.fromkeys(s.get("must", ())))
+        should = list(dict.fromkeys(s.get("should", ())))
+        exclude = list(dict.fromkeys(s.get("exclude", ())))
+        overlap = (
+            (set(must) | set(should)) & set(exclude) | (set(must) & set(should))
+        )
+        if overlap:
+            raise ValueError(
+                f"{qid}: terms in more than one clause list: {sorted(overlap)}"
+            )
+        if not must and not should:
+            raise ValueError(f"{qid}: a positive clause is required")
+        msm = s.get("min_should_match")
+        msm = (0 if must else 1) if msm is None else int(msm)
+        if not must:
+            msm = max(1, msm)
+        if msm > len(should):
+            continue  # Lucene: matches nothing
+        out[qid] = {
+            "terms": must + should,
+            "mode": "or",
+            "k": int(s.get("k", 10)),
+            "_bq": {
+                "must_set": frozenset(must),
+                "should_set": frozenset(should),
+                "msm": msm,
+                "exclude": exclude,
+            },
+        }
+    return out
+
+
 def bm25_topk_batch(
     spark: SparkSession,
     cat: IndexCatalog,
@@ -1274,11 +1353,20 @@ def bm25_topk_batch(
     DataFrame(query_id, ext_id, score, rank). This is the throughput path:
     one postings scan for the union of all query terms, one cogrouped
     scoring pass (posting blocks decoded once per segment), one windowed
-    global top-k per query. qspecs as in :func:`make_batch_scorer`."""
+    global top-k per query. qspecs as in :func:`make_batch_scorer`;
+    a spec may also be a scored BooleanQuery —
+    ``{"must": [...], "should": [...], "exclude": [...],
+    "min_should_match": m, "k": k}`` with :func:`bm25_boolean_topk`
+    semantics (MUST_NOT terms ride the shared scan/cache as veto masks
+    and never score)."""
     from pyspark.sql import Window
 
     cfg = cfg or IndexConfig()
-    all_terms = sorted({t for s in qspecs.values() for t in s["terms"]})
+    qspecs = _normalize_batch_specs(qspecs)
+    all_terms = sorted(
+        {t for s in qspecs.values() for t in s["terms"]}
+        | {t for s in qspecs.values() for t in s.get("_bq", {}).get("exclude", ())}
+    )
     if not all_terms or not qspecs:
         return spark.createDataFrame([], "query_id string, ext_id long, score double, rank int")
     postings = _query_postings(spark, cat, all_terms, cfg)

@@ -359,3 +359,62 @@ def test_bm25_boolean_input_validation(spark, cat):
         bm25_boolean_topk(
             spark, cat, must=["dup"], exclude=["dup"], cfg=CFG
         )
+
+
+def test_bm25_batch_boolean_specs(spark, cat):
+    """Batch specs may be scored BooleanQueries: each must agree with the
+    single-query bm25_boolean_topk (and thus the oracle), mixed freely
+    with plain or/and specs in one batch — including on a repeat run
+    (impact-cache path, if admitted)."""
+    from cuvs_lucene_spark.operators.bm25 import bm25_boolean_topk, bm25_topk_batch
+
+    batch = {
+        "p0": {"terms": ["join"], "mode": "or", "k": 10},
+        "b0": {"must": ["join"], "should": ["vector", "spark"], "k": 10},
+        "b1": {"must": ["join"], "should": ["vector", "spark", "dup"],
+               "exclude": ["slow"], "min_should_match": 2, "k": 10},
+        "b2": {"should": ["spark", "customer", "dup"],
+               "min_should_match": 2, "k": 10},
+        "b3": {"must": ["join", "vector"], "exclude": ["slow"], "k": 10},
+        "b4": {"should": ["join"], "min_should_match": 2, "k": 10},  # -> 0 rows
+    }
+    for _run in range(2):  # second run may ride the impact cache
+        rows = bm25_topk_batch(spark, cat, batch, CFG).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["ext_id"], round(r["score"], 6))
+            )
+        for qid in by_q:
+            by_q[qid] = [(e, s) for _, e, s in sorted(by_q[qid])]
+        assert by_q.get("p0") == _engine_topk(spark, cat, ["join"], k=10)
+        for qid in ("b0", "b1", "b2", "b3", "b4"):
+            spec = batch[qid]
+            single = [
+                (r["ext_id"], round(r["score"], 6))
+                for r in bm25_boolean_topk(
+                    spark, cat, must=spec.get("must", ()),
+                    should=spec.get("should", ()),
+                    exclude=spec.get("exclude", ()),
+                    min_should_match=spec.get("min_should_match", 0)
+                    if "min_should_match" in spec
+                    else (0 if spec.get("must") else 1),
+                    k=10, cfg=CFG,
+                ).collect()
+            ]
+            assert by_q.get(qid, []) == single, (qid, _run)
+
+
+def test_bm25_batch_boolean_validation(spark, cat):
+    from cuvs_lucene_spark.operators.bm25 import bm25_topk_batch
+
+    with pytest.raises(ValueError):
+        bm25_topk_batch(
+            spark, cat, {"x": {"must": ["a"], "terms": ["b"]}}, CFG
+        ).collect()
+    with pytest.raises(ValueError):
+        bm25_topk_batch(spark, cat, {"x": {"exclude": ["a"]}}, CFG).collect()
+    with pytest.raises(ValueError):
+        bm25_topk_batch(
+            spark, cat, {"x": {"must": ["a"], "exclude": ["a"]}}, CFG
+        ).collect()
