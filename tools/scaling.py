@@ -288,7 +288,7 @@ Reproduce: `python tools/scaling.py {n_docs} 3`. Per-op timings at sf0.1:
                    "eff_query": eff_query, "pair_build": pair_build,
                    "pair_build_steady": pair_build_steady,
                    "pair_query": pair_query, "n_docs": n_docs}, f)
-    print("wrote BENCH_SCALING.md / BENCH_SCALING.json")
+    print(f"wrote BENCH_SCALING{suffix}.md / BENCH_SCALING{suffix}.json")
 
 
 if __name__ == "__main__":
