@@ -1232,10 +1232,15 @@ def bm25_boolean_topk(
         return empty
     scoring = must + should
     postings = _query_postings(spark, cat, scoring + exclude, cfg)
-    n, avgdl, df_by_term = _live_stats_and_df(
-        spark, cat, scoring, cfg, postings, filter_ext_ids
+    # df for the exclude terms too: a df-0 MUST_NOT vetoes nothing, and
+    # the impact-cache fast path below needs to know which excludes must
+    # be cache-covered to run scan-free
+    n, avgdl, df_all = _live_stats_and_df(
+        spark, cat, scoring + exclude, cfg, postings, filter_ext_ids
     )
-    df_by_term = {t: d for t, d in df_by_term.items() if d > 0}
+    scoring_set = set(scoring)
+    df_by_term = {t: d for t, d in df_all.items() if d > 0 and t in scoring_set}
+    ex_live = [t for t in exclude if df_all.get(t, 0) > 0]
     if n == 0:
         return empty
     if any(t not in df_by_term for t in must):
@@ -1267,14 +1272,46 @@ def bm25_boolean_topk(
     )
     if fast:
         norms_bc = _norms_broadcast(spark, cat)
-        scorer = make_scorer(
-            scoring_live, idf_by_term, avgdl, k, cfg, "or",
-            allowed_ext=allowed_ext, norms_bc=norms_bc,
-            visited_limit=visited_limit, bq=bqspec,
-        )
-        partials = postings.groupby("segment_id").applyInPandas(
-            lambda p: scorer(p, None), SCORE_SCHEMA
-        )
+        # opportunistic impact-cache hit (parity with bm25_topk): when a
+        # prior batch's cache covers every live scoring AND exclude term,
+        # the repeat boolean query runs scan-free through the batch core
+        hp = getattr(cat, "_hotpost_memo", None)
+        need = set(df_by_term) | set(ex_live)
+        if (
+            hp is not None
+            and hp["ver"] == _hot_cache_key(cat, cfg)
+            and hp["terms"]
+            and need <= hp["terms"]
+            and allowed_ext is None
+            and visited_limit is None
+        ):
+            idf_q = dict(idf_by_term)
+            for t in ex_live:  # veto-only: docs used, contribution ignored
+                idf_q[t] = idf(n, df_all[t])
+            qspec = {
+                "q": {
+                    "terms": scoring_live, "mode": "or", "k": k,
+                    "_bq": {
+                        "must_set": frozenset(must),
+                        "should_set": frozenset(live_should),
+                        "msm": msm,
+                        "exclude": ex_live,
+                    },
+                }
+            }
+            partials = _batch_partials_cached(
+                spark, cat, qspec, idf_q, tuple(hp["bcs"]), norms_bc,
+                "query_id string, segment_id long, ext_id long, score double",
+            ).select("segment_id", "ext_id", "score")
+        else:
+            scorer = make_scorer(
+                scoring_live, idf_by_term, avgdl, k, cfg, "or",
+                allowed_ext=allowed_ext, norms_bc=norms_bc,
+                visited_limit=visited_limit, bq=bqspec,
+            )
+            partials = postings.groupby("segment_id").applyInPandas(
+                lambda p: scorer(p, None), SCORE_SCHEMA
+            )
     else:
         scorer = make_scorer(
             scoring_live, idf_by_term, avgdl, k, cfg, "or",

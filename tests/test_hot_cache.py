@@ -191,3 +191,28 @@ def test_layer_consolidation_bounds_broadcast_count(spark, cat):
         )
         assert len(cat._hotpost_memo["bcs"]) <= B.HOT_POSTINGS_MAX_LAYERS + 1
     cat._hotpost_memo = None
+
+
+def test_boolean_query_cache_hit_bit_identical(spark, cat, monkeypatch):
+    """A repeat scored BooleanQuery after a batch built the cache runs
+    scan-free (incl. the MUST_NOT veto term from the cache) with
+    identical results."""
+    kw = dict(must=["join"], should=["vector", "spark"], exclude=["slow"],
+              min_should_match=1, k=10)
+    with monkeypatch.context() as mp:
+        mp.setattr(B, "_hot_postings_broadcast", lambda *a, **k: (None, frozenset()))
+        cat._hotpost_memo = None
+        want = sorted(
+            (r["ext_id"], round(r["score"], 9))
+            for r in B.bm25_boolean_topk(spark, cat, cfg=CFG, **kw).collect()
+        )
+    B.bm25_topk_batch(spark, cat, QSPECS, CFG).collect()  # builds the cache
+    hp = cat._hotpost_memo
+    assert hp is not None and {"join", "vector", "spark", "slow"} <= set(hp["terms"])
+    got_df = B.bm25_boolean_topk(spark, cat, cfg=CFG, **kw)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    got = sorted(
+        (r["ext_id"], round(r["score"], 9)) for r in got_df.collect()
+    )
+    assert got == want and got
