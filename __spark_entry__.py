@@ -36,7 +36,13 @@ from cuvs_lucene_spark.operators.bm25 import bm25_topk, boolean_and, fetch_store
 from cuvs_lucene_spark.operators.deletes import delete_by_term
 from cuvs_lucene_spark.operators.merge import force_merge
 from cuvs_lucene_spark.operators.segments import build_index
-from cuvs_lucene_spark.oracle import TOKENS, bm25_sql, boolean_and_sql, term_docs_sql
+from cuvs_lucene_spark.oracle import (
+    TOKENS,
+    bm25_sql,
+    boolean_and_sql,
+    hybrid_rrf_sql,
+    term_docs_sql,
+)
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".spark_graft_cache")
@@ -764,6 +770,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["winnow_fingerprint"] = lambda s, d: textstats.winnow_fingerprints(
         _docs(s, d), k=7, w=8
     )
+
+    # ---- hybrid fulltext ∪ vector retrieval (the reference's one-index-
+    # two-queries model: GPUKnnFloatVectorQuery answered by the same
+    # searcher as the host's text queries) fused by Reciprocal Rank
+    # Fusion — rank-exact vs the SQL oracle (both retrievers exact)
+    def _hybrid(s, d, flt=None):
+        from cuvs_lucene_spark.operators.hybrid import hybrid_rrf_topk
+
+        return hybrid_rrf_topk(
+            s, _index(s, d), _ann_index(s, d), Q_OR, _qvec(s, d, 7),
+            k=10, depth=50, metric="l2", ann_mode="exact", cfg=CFG,
+            filter_ext_ids=flt,
+        ).select(
+            F.col("ext_id").alias("doc_id"), "rrf", "bm25_rank", "ann_rank"
+        )
+
+    q["hybrid_rrf"] = lambda s, d: _hybrid(s, d)
+
+    # ---- multi-term queries (PrefixQuery / WildcardQuery rewritten
+    # against the term-dictionary catalog view — host-Lucene surface) ----
+    def _mt(s):
+        from cuvs_lucene_spark.operators import multiterm
+
+        return multiterm
+
+    q["prefix_docs"] = lambda s, d: (
+        _mt(s).prefix_docs(s, _index(s, d), "s", CFG)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
+    q["wildcard_docs"] = lambda s, d: (
+        _mt(s).wildcard_docs(s, _index(s, d), "s?a*", CFG)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
+    # SCORING_BOOLEAN_REWRITE: expanded terms feed the BM25 disjunction
+    q["prefix_bm25"] = lambda s, d: _bm25_out(
+        _mt(s).prefix_topk(s, _index(s, d), "s", k=10, cfg=CFG)
+    )
+    # filtered hybrid: ONE acceptDocs pre-filter applied to BOTH retrievers
+    q["hybrid_rrf_filtered"] = lambda s, d: _hybrid(
+        s, d, flt=_docs(s, d).filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("ext_id")
+        )
+    )
     return q
 
 
@@ -1173,5 +1222,21 @@ SELECT doc_id AS id, unnest(f) AS fp FROM fps
         o["corpus_selection"]
         .replace("{QUALITY}", o["quality_score"])
         .replace("{LANG}", o["lang_id"])
+    )
+    o["hybrid_rrf"] = hybrid_rrf_sql(Q_OR, _cos_q(7), k=10, depth=50)
+    _tok = TOKENS.format(col="text")
+    o["prefix_docs"] = f"""
+SELECT doc_id FROM documents
+WHERE len(list_filter({_tok}, t -> t LIKE 's%')) > 0
+ORDER BY doc_id
+""".strip()
+    o["wildcard_docs"] = f"""
+SELECT doc_id FROM documents
+WHERE len(list_filter({_tok}, t -> regexp_matches(t, '^s.a.*$'))) > 0
+ORDER BY doc_id
+""".strip()
+    o["prefix_bm25"] = bm25_sql([], k=10, term_pred="term LIKE 's%'")
+    o["hybrid_rrf_filtered"] = hybrid_rrf_sql(
+        Q_OR, _cos_q(7), k=10, depth=50, filter_pred="doc_id % 2 = 0"
     )
     return o

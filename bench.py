@@ -228,6 +228,16 @@ def main():
             filter_ext_ids=fdf, filter_mode="df",
         ).collect(),
     )
+    # hybrid fulltext ∪ vector serving shape: BM25 top-depth + exact kNN
+    # top-depth fused by RRF — two pruned top-k scans + a ≤2·depth-row join
+    from cuvs_lucene_spark.operators.hybrid import hybrid_rrf_topk
+
+    timed(
+        "hybrid_rrf",
+        lambda: hybrid_rrf_topk(
+            spark, cat, acat, ["join", "vector"], q0, k=10, depth=50, cfg=cfg
+        ).collect(),
+    )
     # group-wise incremental merge: 2 of 8 segments merged — cost must not
     # scale with the 6 untouched segments (and stays under the compaction
     # trigger, so this times the incremental path itself)

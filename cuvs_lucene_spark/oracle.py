@@ -30,13 +30,18 @@ def bm25_sql(
     text_col: str = "text",
     filter_pred: str | None = None,
     delete_pred: str | None = None,
+    term_pred: str | None = None,
 ) -> str:
     """BM25 top-k oracle. Stats (N, avgdl, df) over live docs (post-delete);
     the candidate filter is PRE-semantics (restricts candidates, not stats).
-    Tie-break: score desc, id asc. Scores rounded to 6 dp."""
+    ``term_pred`` (SQL over ``term``) replaces the IN-list — the multi-term
+    rewrite oracle (prefix/wildcard SCORING_BOOLEAN_REWRITE scores every
+    dictionary term matching the pattern). Tie-break: score desc, id asc.
+    Scores rounded to 6 dp."""
     terms = list(dict.fromkeys(terms))
     live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
     havg = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    tf_pred = term_pred if term_pred else f"term IN {_terms_in(terms)}"
     toks = TOKENS.format(col=text_col)
     return f"""
 WITH live_docs AS (
@@ -53,7 +58,7 @@ toks AS (
 ),
 tf AS (
   SELECT id, term, count(*) AS tf FROM toks
-  WHERE term IN {_terms_in(terms)} GROUP BY id, term
+  WHERE {tf_pred} GROUP BY id, term
 ),
 df AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
@@ -192,3 +197,53 @@ def bm25_boolean_sql(
         scoring, k=k, mode="or", table=table, id_col=id_col,
         text_col=text_col, filter_pred=match, delete_pred=delete_pred,
     )
+
+
+def hybrid_rrf_sql(
+    terms: list[str],
+    qvec_sql: str,
+    k: int = 10,
+    depth: int = 50,
+    k_rrf: int = 60,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    filter_pred: str | None = None,
+    delete_pred: str | None = None,
+) -> str:
+    """Hybrid BM25 ∪ exact-kNN(l2) RRF oracle (operators/hybrid.py).
+
+    Ranks are row_number over the 6-dp-rounded retriever scores with
+    (score desc, id asc) tie-break — the exact ordering the engine's
+    ``_ranked`` uses — then rrf = Σ 1/(k_rrf + rank), absent → 0."""
+    bm25 = bm25_sql(
+        terms, k=depth, table=table, id_col=id_col, text_col=text_col,
+        filter_pred=filter_pred, delete_pred=delete_pred,
+    )
+    vfilter = f"WHERE {filter_pred.replace(id_col, 'vec_id')}" if filter_pred else ""
+    return f"""
+WITH t AS ({bm25}),
+tr AS (
+  SELECT {id_col} AS id, row_number() OVER (ORDER BY score DESC, {id_col} ASC) AS r
+  FROM t
+),
+v AS (
+  SELECT vec_id AS id,
+         round(1.0 / (1.0 + list_distance(embedding::DOUBLE[], {qvec_sql}) ** 2), {ROUND}) AS score
+  FROM embeddings {vfilter}
+  ORDER BY list_distance(embedding::DOUBLE[], {qvec_sql}) ASC, vec_id ASC
+  LIMIT {depth}
+),
+vr AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS r FROM v
+),
+f AS (
+  SELECT coalesce(tr.id, vr.id) AS id,
+         coalesce(1.0 / ({k_rrf} + tr.r), 0) + coalesce(1.0 / ({k_rrf} + vr.r), 0) AS rrf,
+         coalesce(tr.r, 0) AS br, coalesce(vr.r, 0) AS ar
+  FROM tr FULL OUTER JOIN vr ON tr.id = vr.id
+)
+SELECT id AS {id_col}, round(rrf, {ROUND}) AS rrf,
+       CAST(br AS INT) AS bm25_rank, CAST(ar AS INT) AS ann_rank
+FROM f ORDER BY rrf DESC, id ASC LIMIT {k}
+""".strip()
