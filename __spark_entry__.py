@@ -41,6 +41,8 @@ from cuvs_lucene_spark.oracle import (
     bm25_sql,
     boolean_and_sql,
     hybrid_rrf_sql,
+    phrase_bm25_sql,
+    phrase_match_sql,
     term_docs_sql,
 )
 
@@ -788,6 +790,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf"] = lambda s, d: _hybrid(s, d)
 
+    # ---- PhraseQuery over the positional-postings sidecar (Lucene
+    # DOCS_AND_FREQS_AND_POSITIONS analogue; PhraseWeight scoring) ----
+    def _pos_index(s, d):
+        from cuvs_lucene_spark.operators.positions import build_positions
+
+        cat = _index(s, d, "base")
+        build_positions(s, cat, _docs(s, d), CFG)
+        return cat
+
+    def _P(s):
+        from cuvs_lucene_spark.operators import positions
+
+        return positions
+
+    q["phrase_match"] = lambda s, d: (
+        _P(s).phrase_match(s, _pos_index(s, d), ["the", "key"], CFG)
+        .select(F.col("ext_id").alias("doc_id"), "phrase_tf")
+    )
+    q["phrase_bm25"] = lambda s, d: (
+        _P(s).phrase_topk(s, _pos_index(s, d), ["the", "key"], k=10, cfg=CFG)
+        .select(F.col("ext_id").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
     # ---- multi-term queries (PrefixQuery / WildcardQuery rewritten
     # against the term-dictionary catalog view — host-Lucene surface) ----
     def _mt(s):
@@ -1236,6 +1262,8 @@ WHERE len(list_filter({_tok}, t -> regexp_matches(t, '^s.a.*$'))) > 0
 ORDER BY doc_id
 """.strip()
     o["prefix_bm25"] = bm25_sql([], k=10, term_pred="term LIKE 's%'")
+    o["phrase_match"] = phrase_match_sql(["the", "key"])
+    o["phrase_bm25"] = phrase_bm25_sql(["the", "key"], k=10)
     o["hybrid_rrf_filtered"] = hybrid_rrf_sql(
         Q_OR, _cos_q(7), k=10, depth=50, filter_pred="doc_id % 2 = 0"
     )

@@ -170,6 +170,20 @@ def main():
     extras["bm25_batch_warm_qps"] = round(len(batch) / timings["bm25_batch64_warm"], 2)
     assert nres_w == nres  # cache path is result-identical
 
+    # --- positional sidecar + PhraseQuery + multi-term + hybrid text ops ---
+    from cuvs_lucene_spark.operators.multiterm import prefix_topk
+    from cuvs_lucene_spark.operators.positions import build_positions, phrase_topk
+
+    timed("build_positions", lambda: build_positions(spark, cat, docs, cfg))
+    timed(
+        "phrase_query",
+        lambda: phrase_topk(spark, cat, ["the", "key"], k=10, cfg=cfg).collect(),
+    )
+    timed(
+        "prefix_query",
+        lambda: prefix_topk(spark, cat, "s", k=10, cfg=cfg).collect(),
+    )
+
     # --- delete + partial merge ---
     timed("delete_by_term", lambda: delete_by_term(spark, cat, "dup", cfg))
     timed("merge_segments", lambda: merge_segments(spark, cat, cfg))

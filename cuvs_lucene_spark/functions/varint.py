@@ -92,3 +92,17 @@ def delta_decode(buf: bytes) -> np.ndarray:
     """varint bytes → cumulative-summed doc ids."""
     deltas = varint_decode(buf)
     return np.cumsum(deltas, dtype=np.int64)
+
+
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte count (1-5) — lets a caller slice a single
+    concatenated ``varint_encode`` blob at arbitrary value boundaries
+    (the positions writer encodes one blob per segment and byte-slices it
+    per term instead of re-encoding vocabulary-many small arrays)."""
+    a = np.asarray(values)
+    if a.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if a.min() < 0 or a.max() >= (1 << 32):
+        raise ValueError("varint_byte_lengths: values must be in [0, 2^32)")
+    a = a.astype(np.uint64)
+    return 1 + (a >= _T1).astype(np.int64) + (a >= _T2) + (a >= _T3) + (a >= _T4)

@@ -247,3 +247,86 @@ SELECT id AS {id_col}, round(rrf, {ROUND}) AS rrf,
        CAST(br AS INT) AS bm25_rank, CAST(ar AS INT) AS ann_rank
 FROM f ORDER BY rrf DESC, id ASC LIMIT {k}
 """.strip()
+
+
+def _phrase_tf(phrase: list[str], toks_expr: str = "toks") -> str:
+    """DuckDB phrase-frequency expression over a token-array column:
+    anchors i where every slot j has toks[i+j] == phrase[j] (1-based
+    list indexing; generate_series(1, n-L+1) is empty when n < L)."""
+    conds = " AND ".join(
+        f"{toks_expr}[i{'+' + str(j) if j else ''}] = "
+        + "'" + t.replace("'", "''") + "'"
+        for j, t in enumerate(phrase)
+    )
+    return (
+        f"len(list_filter(generate_series(1, len({toks_expr}) - {len(phrase) - 1}), "
+        f"i -> {conds}))"
+    )
+
+
+def phrase_match_sql(
+    phrase: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """Exact-phrase match oracle → (id, phrase_tf) for live docs with ≥1
+    occurrence (operators/positions.py phrase_match)."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    tf = _phrase_tf(phrase)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table} WHERE {live}
+)
+SELECT id AS {id_col}, CAST({tf} AS BIGINT) AS phrase_tf
+FROM t WHERE {tf} > 0
+ORDER BY id
+""".strip()
+
+
+def phrase_bm25_sql(
+    phrase: list[str],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """Scored PhraseQuery oracle (Lucene PhraseWeight × BM25Similarity):
+    idf = Σ_slots ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) — every slot's
+    termStats counts, duplicates included — tf = phrase frequency, norm =
+    full doc length; stats over live docs."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    tf = _phrase_tf(phrase)
+    idf_terms = " + ".join(
+        "ln(1.0 + (stats.n - "
+        f"(SELECT count(*) FROM t WHERE list_contains(toks, "
+        + "'" + w.replace("'", "''") + "'"
+        + ")) + 0.5) / ((SELECT count(*) FROM t WHERE list_contains(toks, "
+        + "'" + w.replace("'", "''") + "'"
+        + ")) + 0.5))"
+        for w in phrase
+    )
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {toks} AS toks, len({toks}) AS dl
+  FROM {table} WHERE {live}
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM t
+),
+m AS (
+  SELECT id, dl, CAST({tf} AS BIGINT) AS tf FROM t WHERE {tf} > 0
+)
+SELECT id AS {id_col},
+       round(({idf_terms})
+             * m.tf * ({K1} + 1.0)
+             / (m.tf + {K1} * (1.0 - {B} + {B} * m.dl / stats.avgdl)),
+             {ROUND}) AS score
+FROM m CROSS JOIN stats
+ORDER BY score DESC, id ASC
+LIMIT {k}
+""".strip()
