@@ -92,6 +92,24 @@ def incremental_add(
         for name, (where, select) in SEGDATA_VIEWS.items():
             cat.define_view(name, "segdata", where, select)
     cat.append(segdata, "segdata", tag=f"epoch_{epoch}")
+    # positions sidecar maintenance: when the index opted into positions
+    # (build_positions ran), every epoch appends its segments' position
+    # rows too — same idempotent tag discipline, so phrase queries never
+    # see a streamed segment the sidecar doesn't cover. A crash between
+    # the two appends is healed by redelivery (tag replaces); a permanent
+    # gap degrades to PositionsStaleError, never to wrong results.
+    if cat.exists("positions"):
+        from cuvs_lucene_spark.operators.positions import (
+            POS_SCHEMA,
+            build_positions_pdf,
+        )
+
+        pos = (
+            base.select("segment_id", "ext_id", F.col("content").alias("text"))
+            .groupBy("segment_id")
+            .applyInPandas(lambda p: build_positions_pdf(p), POS_SCHEMA)
+        )
+        cat.append(pos, "positions", tag=f"epoch_{epoch}")
     cat.mark_stage(f"epoch_{epoch}", n_epoch=epoch)
 
 

@@ -177,3 +177,35 @@ def test_merge_staleness_and_refresh(spark, tmp_path_factory):
     assert after == before
     # idempotent: nothing further to build
     assert refresh_positions(spark, cat, docs, CFG) == 0
+
+
+def test_streamed_epochs_maintain_positions(spark, tmp_path):
+    """Streaming ingest appends position rows for every epoch once the
+    index opted in — phrase queries stay fresh without refresh, and equal
+    a batch-built sidecar over the same docs."""
+    from cuvs_lucene_spark.streaming.ingest import incremental_add
+    from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+    rows = [(i, "red fox red fox" if i % 3 == 0 else "red then fox") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cat = IndexCatalog(str(tmp_path / "s"))
+    first = docs.filter(F.col("doc_id") < 10)
+    incremental_add(spark, cat, first, CFG, 0, content_col="text", id_col="doc_id")
+    build_positions(spark, cat, first, CFG, content_col="text", id_col="doc_id")
+    # later epochs arrive AFTER the opt-in → sidecar rows ride each epoch
+    for epoch, (lo, hi) in enumerate([(10, 20), (20, 30)], start=1):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        incremental_add(spark, cat, batch, CFG, epoch, content_col="text", id_col="doc_id")
+    got = {
+        r["ext_id"]: r["phrase_tf"]
+        for r in phrase_match(spark, cat, ["red", "fox"], CFG).collect()
+    }
+    assert got == {i: 2 for i in range(0, 30, 3)}
+    # idempotent redelivery of an epoch must not duplicate position rows
+    incremental_add(spark, cat, docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+                    CFG, 1, content_col="text", id_col="doc_id")
+    again = {
+        r["ext_id"]: r["phrase_tf"]
+        for r in phrase_match(spark, cat, ["red", "fox"], CFG).collect()
+    }
+    assert again == got
