@@ -6,7 +6,8 @@ job):
     zip -r /tmp/engine.zip cuvs_lucene_spark
     spark-submit --master local[8] --py-files /tmp/engine.zip \
         jobs/maintain_index.py --index /tmp/idx \
-        [--delete-term dup] [--force-merge] [--ann] [--delete-ids 3 12]
+        [--delete-term dup] [--force-merge] [--ann] [--delete-ids 3 12] \
+        [--docs /data/docs.parquet]   # refresh positions after merges
 
 Steps (each optional / idempotent):
   1. apply deletes (--delete-term for the text index, --delete-ids for the
@@ -35,6 +36,11 @@ def main(argv=None):
     p.add_argument("--ann", action="store_true",
                    help="also maintain the ANN sidecar tables in --index")
     p.add_argument("--rows-per-segment", type=int, default=None)
+    p.add_argument("--docs", default=None,
+                   help="source docs parquet — enables positions-sidecar "
+                        "refresh after merges")
+    p.add_argument("--content-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -76,6 +82,18 @@ def main(argv=None):
                 merge_segments(spark, cat, cfg, groups=groups)
         out["merge_sec"] = round(time.time() - t0, 3)
         out["segments_after"] = cat.read(spark, "segment_stats").count()
+        # positions sidecar repair: merges re-segment docs, leaving the
+        # phrase index stale; with the source table at hand (--docs) the
+        # group-wise refresh rebuilds ONLY the new segments
+        if args.docs and cat.exists("positions"):
+            from cuvs_lucene_spark.operators.positions import refresh_positions
+
+            t0 = time.time()
+            out["positions_refreshed"] = refresh_positions(
+                spark, cat, spark.read.parquet(args.docs), cfg,
+                content_col=args.content_col, id_col=args.id_col,
+            )
+            out["positions_refresh_sec"] = round(time.time() - t0, 3)
 
     if args.ann and cat.exists("ann_flat"):
         from pyspark.sql import functions as F
