@@ -1265,6 +1265,7 @@ ORDER BY doc_id
     o["phrase_match"] = phrase_match_sql(["the", "key"])
     o["phrase_bm25"] = phrase_bm25_sql(["the", "key"], k=10)
     o["hybrid_rrf_filtered"] = hybrid_rrf_sql(
-        Q_OR, _cos_q(7), k=10, depth=50, filter_pred="doc_id % 2 = 0"
+        Q_OR, _cos_q(7), k=10, depth=50,
+        filter_pred="doc_id % 2 = 0", vec_filter_pred="vec_id % 2 = 0",
     )
     return o

@@ -29,11 +29,8 @@ def varint_encode(values: np.ndarray) -> bytes:
     a = np.asarray(values)
     if a.size == 0:
         return b""
-    if a.min() < 0 or a.max() >= (1 << 32):
-        raise ValueError("varint_encode: values must be in [0, 2^32)")
+    nb = varint_byte_lengths(a)  # validates the uint32 range
     a = a.astype(np.uint64)
-    # exact per-value byte count via thresholds (no float log2)
-    nb = (1 + (a >= _T1).astype(np.int64) + (a >= _T2) + (a >= _T3) + (a >= _T4))
     total = int(nb.sum())
     out = np.zeros(total, dtype=np.uint8)
     # start offset of each value's first byte
@@ -103,6 +100,6 @@ def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
     if a.size == 0:
         return np.empty(0, dtype=np.int64)
     if a.min() < 0 or a.max() >= (1 << 32):
-        raise ValueError("varint_byte_lengths: values must be in [0, 2^32)")
+        raise ValueError("varint: values must be in [0, 2^32)")
     a = a.astype(np.uint64)
     return 1 + (a >= _T1).astype(np.int64) + (a >= _T2) + (a >= _T3) + (a >= _T4)

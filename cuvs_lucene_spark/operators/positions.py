@@ -133,20 +133,18 @@ def build_positions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _decode_positions(row) -> tuple[np.ndarray, np.ndarray]:
-    """One positions row → (keys, doc_ids): keys = ext·SHIFT + absolute
-    position, ascending; doc_ids aligned per position."""
+def _decode_positions(row) -> np.ndarray:
+    """One positions row → keys = ext·SHIFT + absolute position, ascending."""
     ext = np.frombuffer(row.ext_ids, dtype=np.int64)
     counts = varint_decode(row.counts)
     vals = varint_decode(row.pos_blob)
     if vals.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.empty(0, np.int64)
     cum = np.cumsum(vals)
     starts = np.cumsum(counts) - counts
     base = cum[starts] - vals[starts]
     absolute = cum - np.repeat(base, counts)
-    docs = np.repeat(ext, counts)
-    return docs * POS_SHIFT + absolute, docs
+    return np.repeat(ext, counts) * POS_SHIFT + absolute
 
 
 def _live_segs(spark: SparkSession, cat) -> DataFrame:
@@ -179,6 +177,23 @@ def _build_segments(
         F.col(content_col).alias("text"),
     )
     joined = src.join(dm, "ext_id")
+    # the sidecar must cover every indexed doc of these segments: a source
+    # missing docs (or duplicating ext_ids) would otherwise write a silently
+    # partial/doubled sidecar that phrase queries trust forever
+    exp = dm.groupBy("segment_id").agg(F.count("*").alias("n_exp"))
+    got = joined.groupBy("segment_id").agg(F.count("*").alias("n_got"))
+    bad = (
+        exp.join(got, "segment_id", "left")
+        .where(F.coalesce(F.col("n_got"), F.lit(0)) != F.col("n_exp"))
+    )
+    row = bad.select("segment_id", "n_exp", "n_got").first()
+    if row is not None:
+        raise ValueError(
+            f"positions build: segment {row['segment_id']} has "
+            f"{row['n_got'] or 0} source docs for {row['n_exp']} indexed "
+            "docs — the docs DataFrame must contain every indexed doc "
+            "exactly once"
+        )
     return joined.groupBy("segment_id").applyInPandas(
         lambda p: build_positions_pdf(p), POS_SCHEMA
     )
@@ -259,12 +274,14 @@ def phrase_match(
     slots = list(phrase)
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
-        by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        by_term: dict[str, np.ndarray] = {}
         for term, grp in pdf.groupby("term"):
             parts = [_decode_positions(r) for r in grp.itertuples()]
-            keys = np.concatenate([p[0] for p in parts])
+            keys = np.concatenate(parts)
             if len(parts) > 1:
-                keys = np.sort(keys)
+                # np.unique (not sort): a duplicated sidecar row — e.g. a
+                # crash-repair overlap — must not break assume_unique below
+                keys = np.unique(keys)
             by_term[term] = keys
         anchors = None
         for j, term in enumerate(slots):

@@ -210,17 +210,31 @@ def hybrid_rrf_sql(
     text_col: str = "text",
     filter_pred: str | None = None,
     delete_pred: str | None = None,
+    vec_filter_pred: str | None = None,
 ) -> str:
     """Hybrid BM25 ∪ exact-kNN(l2) RRF oracle (operators/hybrid.py).
 
     Ranks are row_number over the 6-dp-rounded retriever scores with
     (score desc, id asc) tie-break — the exact ordering the engine's
-    ``_ranked`` uses — then rrf = Σ 1/(k_rrf + rank), absent → 0."""
+    ``_ranked`` uses — then rrf = Σ 1/(k_rrf + rank), absent → 0.
+    ``vec_filter_pred`` is the SAME pre-filter spelled over ``vec_id``
+    (required whenever ``filter_pred`` is given — no fragile column-name
+    rewriting); ``delete_pred`` (over the text table) excludes deleted
+    docs from BOTH legs, matching the engine's shared tombstones."""
+    if filter_pred and not vec_filter_pred:
+        raise ValueError("vec_filter_pred required when filter_pred is set")
     bm25 = bm25_sql(
         terms, k=depth, table=table, id_col=id_col, text_col=text_col,
         filter_pred=filter_pred, delete_pred=delete_pred,
     )
-    vfilter = f"WHERE {filter_pred.replace(id_col, 'vec_id')}" if filter_pred else ""
+    vpreds = []
+    if vec_filter_pred:
+        vpreds.append(f"({vec_filter_pred})")
+    if delete_pred:
+        vpreds.append(
+            f"vec_id NOT IN (SELECT {id_col} FROM {table} WHERE {delete_pred})"
+        )
+    vfilter = f"WHERE {' AND '.join(vpreds)}" if vpreds else ""
     return f"""
 WITH t AS ({bm25}),
 tr AS (

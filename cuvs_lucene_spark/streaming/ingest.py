@@ -104,12 +104,25 @@ def incremental_add(
             build_positions_pdf,
         )
 
-        pos = (
-            base.select("segment_id", "ext_id", F.col("content").alias("text"))
-            .groupBy("segment_id")
-            .applyInPandas(lambda p: build_positions_pdf(p), POS_SCHEMA)
+        # build only segments the sidecar does not cover yet: a crash
+        # between the two appends followed by a manual refresh_positions
+        # (untagged rows) must not be doubled by this epoch's redelivery —
+        # coverage, not the tag, is the idempotency authority. And when
+        # everything is already covered, do NOT re-append: an empty
+        # tag-replace would wipe the earlier increment's rows.
+        covered = cat.read(spark, "positions").select("segment_id").distinct()
+        missing = (
+            base.select("segment_id").distinct()
+            .join(covered, "segment_id", "left_anti")
         )
-        cat.append(pos, "positions", tag=f"epoch_{epoch}")
+        if missing.limit(1).count() > 0:
+            pos = (
+                base.select("segment_id", "ext_id", F.col("content").alias("text"))
+                .join(F.broadcast(missing), "segment_id", "left_semi")
+                .groupBy("segment_id")
+                .applyInPandas(lambda p: build_positions_pdf(p), POS_SCHEMA)
+            )
+            cat.append(pos, "positions", tag=f"epoch_{epoch}")
     cat.mark_stage(f"epoch_{epoch}", n_epoch=epoch)
 
 

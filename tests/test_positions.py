@@ -131,25 +131,27 @@ def test_phrase_empty_and_k0(spark, pcat):
     assert phrase_match(spark, cat, ["zzz", "quick"], CFG).count() == 0
 
 
-def test_phrase_after_delete(spark, pcat):
-    cat, docs = pcat
+def test_phrase_after_delete(spark, tmp_path_factory):
+    # dedicated index: delete_docs mutates the catalog, so this test must
+    # not share the module-scoped pcat with other tests
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cat = build_index(
+        spark, docs, str(tmp_path_factory.mktemp("posdel")), CFG,
+        content_col="text", id_col="doc_id",
+    )
+    build_positions(spark, cat, docs, CFG)
     tomb = spark.createDataFrame([(1,), (6,)], "ext_id long")
     delete_docs(spark, cat, tomb)
-    try:
-        got = {
-            r["ext_id"]: r["phrase_tf"]
-            for r in phrase_match(spark, cat, ["quick", "brown"], CFG).collect()
-        }
-        want = {d: tf for d, tf in brute_phrase(["quick", "brown"]).items()
-                if d not in (1, 6)}
-        assert got == want
-        # scored path: stats over live docs (df/avgdl recomputed)
-        rows = phrase_topk(spark, cat, ["quick", "brown"], k=10, cfg=CFG).collect()
-        assert {r["ext_id"] for r in rows} == set(want)
-    finally:
-        # clear tombstones for subsequent tests (fresh write of empty set
-        # is not supported — rebuild semantics: tests below use force_merge)
-        pass
+    got = {
+        r["ext_id"]: r["phrase_tf"]
+        for r in phrase_match(spark, cat, ["quick", "brown"], CFG).collect()
+    }
+    want = {d: tf for d, tf in brute_phrase(["quick", "brown"]).items()
+            if d not in (1, 6)}
+    assert got == want
+    # scored path: stats over live docs (df/avgdl recomputed)
+    rows = phrase_topk(spark, cat, ["quick", "brown"], k=10, cfg=CFG).collect()
+    assert {r["ext_id"] for r in rows} == set(want)
 
 
 def test_merge_staleness_and_refresh(spark, tmp_path_factory):
