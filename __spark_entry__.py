@@ -833,6 +833,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["prefix_bm25"] = lambda s, d: _bm25_out(
         _mt(s).prefix_topk(s, _index(s, d), "s", k=10, cfg=CFG)
     )
+    # FuzzyQuery (edit-distance dictionary rewrite; transpositions=False
+    # here so the plain-Levenshtein oracle is exact — the OSA default is
+    # pytest-verified), TermRangeQuery, RegexpQuery
+    q["fuzzy_docs"] = lambda s, d: (
+        _mt(s).fuzzy_docs(
+            s, _index(s, d), "part", max_edits=2, transpositions=False,
+            cfg=CFG,
+        ).select(F.col("ext_id").alias("doc_id"))
+    )
+    q["fuzzy_bm25"] = lambda s, d: _bm25_out(
+        _mt(s).fuzzy_topk(
+            s, _index(s, d), "part", k=10, max_edits=2,
+            transpositions=False, cfg=CFG,
+        )
+    )
+    q["term_range_docs"] = lambda s, d: (
+        _mt(s).range_docs(s, _index(s, d), "batch", "data", cfg=CFG)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
+    q["regexp_docs"] = lambda s, d: (
+        _mt(s).regexp_docs(s, _index(s, d), "(scan|sort|merge)", CFG)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
     # filtered hybrid: ONE acceptDocs pre-filter applied to BOTH retrievers
     q["hybrid_rrf_filtered"] = lambda s, d: _hybrid(
         s, d, flt=_docs(s, d).filter(F.col("doc_id") % 2 == 0).select(
@@ -1262,6 +1285,25 @@ WHERE len(list_filter({_tok}, t -> regexp_matches(t, '^s.a.*$'))) > 0
 ORDER BY doc_id
 """.strip()
     o["prefix_bm25"] = bm25_sql([], k=10, term_pred="term LIKE 's%'")
+    o["fuzzy_docs"] = f"""
+SELECT doc_id FROM documents
+WHERE len(list_filter({_tok}, t -> levenshtein(t, 'part') <= 2)) > 0
+ORDER BY doc_id
+""".strip()
+    o["fuzzy_bm25"] = bm25_sql(
+        [], k=10, term_pred="levenshtein(term, 'part') <= 2"
+    )
+    o["term_range_docs"] = f"""
+SELECT doc_id FROM documents
+WHERE len(list_filter({_tok}, t -> t >= 'batch' AND t <= 'data')) > 0
+ORDER BY doc_id
+""".strip()
+    o["regexp_docs"] = f"""
+SELECT doc_id FROM documents
+WHERE len(list_filter(
+        {_tok}, t -> regexp_full_match(t, '(scan|sort|merge)'))) > 0
+ORDER BY doc_id
+""".strip()
     o["phrase_match"] = phrase_match_sql(["the", "key"])
     o["phrase_bm25"] = phrase_bm25_sql(["the", "key"], k=10)
     o["hybrid_rrf_filtered"] = hybrid_rrf_sql(

@@ -13,10 +13,18 @@ from cuvs_lucene_spark.operators.bm25 import bm25_topk
 from cuvs_lucene_spark.operators.deletes import delete_by_term
 from cuvs_lucene_spark.operators.multiterm import (
     TooManyClauses,
+    _osa,
+    _regex_literal_prefix,
     _wildcard_to_regex,
     expand_terms,
+    fuzzy_docs,
+    fuzzy_expand,
+    fuzzy_topk,
     prefix_docs,
     prefix_topk,
+    range_docs,
+    range_expand,
+    regexp_docs,
     wildcard_docs,
 )
 from cuvs_lucene_spark.operators.segments import build_index
@@ -84,6 +92,116 @@ def test_prefix_topk_equals_expanded_bm25(spark, tcat):
     assert [(r["ext_id"], r["score"]) for r in got] == [
         (r["ext_id"], r["score"]) for r in want
     ]
+
+
+def test_osa_distance():
+    # adjacent transposition = ONE edit (Lucene transpositions=true)
+    assert _osa("ab", "ba", 2) == 1
+    assert _osa("grpae", "grape", 2) == 1
+    assert _osa("abc", "abc", 2) == 0
+    assert _osa("kitten", "sitting", 2) == 3  # capped: cap+1 past cap
+    assert _osa("", "ab", 2) == 2
+    assert _osa("abcd", "", 2) == 3  # length gap > cap → cap+1
+
+
+def test_fuzzy_expand_basics(spark, tcat):
+    # one insertion away
+    assert fuzzy_expand(spark, tcat, "aple", max_edits=1) == ["apple"]
+    # zap: itself + zip (1 substitution); zoom is 3 edits away
+    assert fuzzy_expand(spark, tcat, "zap", max_edits=1) == ["zap", "zip"]
+    # max_edits=0 degenerates to exact dictionary lookup
+    assert fuzzy_expand(spark, tcat, "grape", max_edits=0) == ["grape"]
+    assert fuzzy_expand(spark, tcat, "grapes", max_edits=0) == []
+    with pytest.raises(ValueError):
+        fuzzy_expand(spark, tcat, "zap", max_edits=3)
+    with pytest.raises(TooManyClauses):
+        fuzzy_expand(spark, tcat, "fig", max_edits=2, max_expansions=1)
+
+
+def test_fuzzy_transpositions_semantics(spark, tcat):
+    # grpae = grape with one adjacent swap: 1 OSA edit, 2 plain edits
+    assert fuzzy_expand(
+        spark, tcat, "grpae", max_edits=1, transpositions=True
+    ) == ["grape"]
+    assert fuzzy_expand(
+        spark, tcat, "grpae", max_edits=1, transpositions=False
+    ) == []
+    # both reach it at plain distance 2
+    assert fuzzy_expand(
+        spark, tcat, "grpae", max_edits=2, transpositions=False
+    ) == ["grape"]
+
+
+def test_fuzzy_prefix_length(spark, tcat):
+    # non-fuzzy prefix 'z' verbatim, edits on the suffix
+    assert fuzzy_expand(
+        spark, tcat, "zap", max_edits=1, prefix_length=1
+    ) == ["zap", "zip"]
+    # prefix 'za' verbatim excludes zip
+    assert fuzzy_expand(
+        spark, tcat, "zap", max_edits=1, prefix_length=2
+    ) == ["zap"]
+    # prefix_length past the term length = exact prefix of the whole term
+    assert fuzzy_expand(
+        spark, tcat, "zap", max_edits=1, prefix_length=99
+    ) == ["zap"]
+
+
+def test_fuzzy_docs_and_topk(spark, tcat):
+    got = sorted(
+        r["ext_id"] for r in fuzzy_docs(spark, tcat, "zap", 1, cfg=CFG).collect()
+    )
+    assert got == [6]
+    # SCORING_BOOLEAN_REWRITE ≡ BM25 disjunction over the expansion
+    got_k = fuzzy_topk(spark, tcat, "aple", k=8, max_edits=2, cfg=CFG).collect()
+    want = bm25_topk(spark, tcat, fuzzy_expand(spark, tcat, "aple", 2),
+                     k=8, mode="or", cfg=CFG).collect()
+    assert [(r["ext_id"], r["score"]) for r in got_k] == [
+        (r["ext_id"], r["score"]) for r in want
+    ]
+
+
+def test_range_expand_and_docs(spark, tcat):
+    assert range_expand(spark, tcat, "apple", "cherry") == [
+        "apple", "apricot", "banana", "cherry"
+    ]
+    assert range_expand(
+        spark, tcat, "apple", "cherry",
+        include_lower=False, include_upper=False,
+    ) == ["apricot", "banana"]
+    # open ends
+    assert range_expand(spark, tcat, None, "b") == ["apple", "apricot"]
+    assert range_expand(spark, tcat, "zip", None) == ["zip", "zoom"]
+    with pytest.raises(TooManyClauses):
+        range_expand(spark, tcat, None, None, max_expansions=3)
+    got = sorted(
+        r["ext_id"]
+        for r in range_docs(spark, tcat, "apple", "banana", cfg=CFG).collect()
+    )
+    # docs containing apple, apricot, or banana
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_regex_literal_prefix():
+    assert _regex_literal_prefix("zap") == "zap"
+    assert _regex_literal_prefix("z[ai]p") == "z"
+    assert _regex_literal_prefix("gr.pe") == "gr"
+    # quantifier unbinds the previous literal
+    assert _regex_literal_prefix("ab*c") == "a"
+    assert _regex_literal_prefix("a+") == ""
+
+
+def test_regexp_docs_whole_term_anchoring(spark, tcat):
+    got = sorted(
+        r["ext_id"] for r in regexp_docs(spark, tcat, "z[ai]p", CFG).collect()
+    )
+    assert got == [6]
+    # pattern must match the ENTIRE term: 'appl' matches nothing
+    assert regexp_docs(spark, tcat, "appl", CFG).count() == 0
+    got2 = sorted(
+        r["ext_id"] for r in regexp_docs(spark, tcat, "appl.*", CFG).collect()
+    )
+    assert got2 == [0, 1, 4]
 
 
 def test_prefix_after_delete_drops_dead_terms(spark, tcat):
