@@ -171,7 +171,7 @@ def main():
     assert nres_w == nres  # cache path is result-identical
 
     # --- positional sidecar + PhraseQuery + multi-term + hybrid text ops ---
-    from cuvs_lucene_spark.operators.multiterm import prefix_topk
+    from cuvs_lucene_spark.operators.multiterm import fuzzy_topk, prefix_topk
     from cuvs_lucene_spark.operators.positions import build_positions, phrase_topk
 
     timed("build_positions", lambda: build_positions(spark, cat, docs, cfg))
@@ -182,6 +182,10 @@ def main():
     timed(
         "prefix_query",
         lambda: prefix_topk(spark, cat, "s", k=10, cfg=cfg).collect(),
+    )
+    timed(
+        "fuzzy_query",
+        lambda: fuzzy_topk(spark, cat, "part", k=10, max_edits=2, cfg=cfg).collect(),
     )
 
     # --- delete + partial merge ---

@@ -321,3 +321,23 @@ def test_cosine_ivf_plan_shape(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_dictionary_scan_pushes_prefix_and_length(spark, cat):
+    """The fuzzy rewrite's pruning must reach the parquet dictionary scan:
+    kind=term, the non-fuzzy StartsWith prefix, and the ±maxEdits length
+    window all as data filters — never a full-dictionary pandas pass."""
+    terms = cat.read(spark, "terms").select("term")
+    pruned = (
+        terms.filter(F.col("term").startswith("pa"))
+        .filter(F.length("term").between(2, 6))
+        .filter(F.levenshtein(F.col("term"), F.lit("part"), 2) >= 0)
+    )
+    plan = _plan(pruned)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "StringStartsWith(term,pa)" in pushed
+    assert "EqualTo(kind,term)" in pushed
+    # the length window runs against the scan output (same stage, before
+    # any exchange — DataFilters truncates in toString, so match the plan)
+    assert "length(term" in plan
+    assert "Exchange" not in plan.split("FileScan")[0]
