@@ -813,6 +813,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.col("ext_id").alias("doc_id"),
                 F.round("score", 6).alias("score"))
     )
+    # MultiPhraseQuery: a slot may be a SET of terms (e.g. prefix-expanded)
+    MP = [["the"], ["key", "row"]]
+    q["multi_phrase_match"] = lambda s, d: (
+        _P(s).phrase_match(s, _pos_index(s, d), MP, CFG)
+        .select(F.col("ext_id").alias("doc_id"), "phrase_tf")
+    )
+    q["multi_phrase_bm25"] = lambda s, d: (
+        _P(s).phrase_topk(s, _pos_index(s, d), MP, k=10, cfg=CFG)
+        .select(F.col("ext_id").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
 
     # ---- multi-term queries (PrefixQuery / WildcardQuery rewritten
     # against the term-dictionary catalog view — host-Lucene surface) ----
@@ -1306,6 +1317,8 @@ ORDER BY doc_id
 """.strip()
     o["phrase_match"] = phrase_match_sql(["the", "key"])
     o["phrase_bm25"] = phrase_bm25_sql(["the", "key"], k=10)
+    o["multi_phrase_match"] = phrase_match_sql([["the"], ["key", "row"]])
+    o["multi_phrase_bm25"] = phrase_bm25_sql([["the"], ["key", "row"]], k=10)
     o["hybrid_rrf_filtered"] = hybrid_rrf_sql(
         Q_OR, _cos_q(7), k=10, depth=50,
         filter_pred="doc_id % 2 = 0", vec_filter_pred="vec_id % 2 = 0",

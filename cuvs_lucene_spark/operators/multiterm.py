@@ -323,7 +323,7 @@ def _regex_literal_prefix(pattern: str) -> str:
     metacharacter, and drops the last literal if a quantifier follows."""
     meta = set(".^$*+?{}[]()|\\")
     out: list[str] = []
-    for i, ch in enumerate(pattern):
+    for ch in pattern:
         if ch in meta:
             if ch in "*+?{" and out:
                 out.pop()  # the previous literal is quantified, not fixed

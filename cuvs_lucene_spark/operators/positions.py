@@ -16,6 +16,9 @@ GPUKnnFloatVectorQuery.java:21-58). Spark-first equivalent:
   ``term IN``), per-segment vectorized anchor intersection
   (key = doc·2²⁰ + shifted position, ``np.intersect1d`` per slot) →
   (ext_id, phrase_tf). No corpus scan, no driver-side doc state.
+  A slot may be a LIST of terms (Lucene ``MultiPhraseQuery`` — the slot
+  matches any member, e.g. a prefix-expanded position): the slot's key
+  sets union before the intersection.
 - ``phrase_topk``: Lucene ``PhraseWeight`` scoring — idf is the SUM of
   the constituent terms' BM25 idfs (duplicated slots count twice, as
   ``PhraseQuery.getTerms()`` feeds every slot's termStats into
@@ -254,24 +257,41 @@ def _phrase_rows(spark: SparkSession, cat, terms: list[str]) -> DataFrame:
     return rows.join(F.broadcast(_live_segs(spark, cat)), "segment_id", "left_semi")
 
 
+def _norm_slots(phrase) -> list[list[str]]:
+    """Phrase spec → per-slot term lists: a plain term is a 1-term slot
+    (PhraseQuery), a list is a union slot (MultiPhraseQuery). Empty terms
+    are dropped; an explicitly empty slot is an error."""
+    slots: list[list[str]] = []
+    for slot in phrase:
+        terms = [slot] if isinstance(slot, str) else list(slot)
+        terms = list(dict.fromkeys(t for t in terms if t))
+        if not terms and not isinstance(slot, str):
+            raise ValueError("multi-phrase slot has no terms")
+        if terms:
+            slots.append(terms)
+    return slots
+
+
 def phrase_match(
     spark: SparkSession,
     cat,
-    phrase: list[str],
+    phrase,
     cfg: IndexConfig | None = None,
 ) -> DataFrame:
     """Exact-phrase matcher → DataFrame(ext_id, phrase_tf), live docs only.
 
-    Per segment: decode each distinct term's position keys once, then for
-    slot j intersect anchor sets keyed ext·SHIFT + (pos − j) — all numpy,
-    no per-doc loop. Tombstones apply as a left-anti (set semantics are
-    unchanged by pre- vs post-filtering a match set)."""
-    phrase = [t for t in phrase if t]
-    if not phrase:
+    Each slot may be one term (Lucene ``PhraseQuery``) or a LIST of terms
+    (``MultiPhraseQuery`` — the slot matches ANY of them, e.g. a
+    prefix-expanded position). Per segment: decode each distinct term's
+    position keys once, union them per slot, then for slot j intersect
+    anchor sets keyed ext·SHIFT + (pos − j) — all numpy, no per-doc loop.
+    Tombstones apply as a left-anti (set semantics are unchanged by pre-
+    vs post-filtering a match set)."""
+    slots = _norm_slots(phrase)
+    if not slots:
         return spark.createDataFrame([], "ext_id long, phrase_tf long")
-    uniq = list(dict.fromkeys(phrase))
+    uniq = list(dict.fromkeys(t for s in slots for t in s))
     rows = _phrase_rows(spark, cat, uniq)
-    slots = list(phrase)
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term: dict[str, np.ndarray] = {}
@@ -283,13 +303,20 @@ def phrase_match(
                 # crash-repair overlap — must not break assume_unique below
                 keys = np.unique(keys)
             by_term[term] = keys
+        empty = pd.DataFrame({"ext_id": [], "phrase_tf": []}).astype(
+            {"ext_id": "int64", "phrase_tf": "int64"}
+        )
         anchors = None
-        for j, term in enumerate(slots):
-            keys = by_term.get(term)
-            if keys is None:
-                return pd.DataFrame({"ext_id": [], "phrase_tf": []}).astype(
-                    {"ext_id": "int64", "phrase_tf": "int64"}
-                )
+        for j, slot_terms in enumerate(slots):
+            present = [by_term[t] for t in slot_terms if t in by_term]
+            if not present:
+                return empty
+            if len(present) == 1:
+                keys = present[0]
+            else:
+                # union slot (MultiPhraseQuery): distinct terms can't share
+                # a (doc, position) key, so the union stays duplicate-free
+                keys = np.unique(np.concatenate(present))
             if j:
                 shifted = keys - j
                 # a shifted position must stay inside its own doc's space
@@ -300,9 +327,7 @@ def phrase_match(
             if anchors.size == 0:
                 break
         if anchors is None or anchors.size == 0:
-            return pd.DataFrame({"ext_id": [], "phrase_tf": []}).astype(
-                {"ext_id": "int64", "phrase_tf": "int64"}
-            )
+            return empty
         docs, tfs = np.unique(anchors // POS_SHIFT, return_counts=True)
         return pd.DataFrame({"ext_id": docs, "phrase_tf": tfs.astype(np.int64)})
 
@@ -317,27 +342,35 @@ def phrase_match(
 def phrase_topk(
     spark: SparkSession,
     cat,
-    phrase: list[str],
+    phrase,
     k: int = 10,
     cfg: IndexConfig | None = None,
 ) -> DataFrame:
-    """Scored PhraseQuery → DataFrame(ext_id, score), top-k.
+    """Scored Phrase/MultiPhraseQuery → DataFrame(ext_id, score), top-k.
 
-    Lucene ``PhraseWeight`` semantics: idf = Σ idf(term_j) over ALL slots
-    (``PhraseQuery.getTerms()`` passes every slot's termStats, duplicates
-    included), tf = phrase frequency, norm = full doc length; stats over
-    live docs (fresh-reader strictness, as bm25_topk)."""
+    Lucene ``PhraseWeight`` semantics: idf = Σ idf(term) over every slot's
+    terms (``PhraseQuery.getTerms()`` passes every slot's termStats,
+    duplicates included; for MultiPhraseQuery every union-slot member
+    counts, and terms with df = 0 are skipped — ``IndexSearcher.
+    termStatistics`` returns null for them), tf = phrase frequency, norm =
+    full doc length; stats over live docs (fresh-reader strictness, as
+    bm25_topk)."""
     cfg = cfg or IndexConfig()
-    phrase = [t for t in phrase if t]
-    if k <= 0 or not phrase:
+    slots = _norm_slots(phrase)
+    if k <= 0 or not slots:
         return spark.createDataFrame([], "ext_id long, score double")
-    uniq = list(dict.fromkeys(phrase))
+    uniq = list(dict.fromkeys(t for s in slots for t in s))
     postings = _query_postings(spark, cat, uniq, cfg)
     n, avgdl, df_by_term = _live_stats_and_df(spark, cat, uniq, cfg, postings, None)
-    if n == 0 or any(df_by_term.get(t, 0) == 0 for t in uniq):
+    if n == 0 or any(
+        all(df_by_term.get(t, 0) == 0 for t in s) for s in slots
+    ):
         return spark.createDataFrame([], "ext_id long, score double")
-    idf_sum = float(sum(idf(n, df_by_term[t]) for t in phrase))
-    matches = phrase_match(spark, cat, phrase, cfg)
+    idf_sum = float(sum(
+        idf(n, df_by_term[t])
+        for s in slots for t in s if df_by_term.get(t, 0) > 0
+    ))
+    matches = phrase_match(spark, cat, slots, cfg)
     dl = cat.read(spark, "doc_map").select("ext_id", "dl")
     k1, b = cfg.bm25.k1, cfg.bm25.b
     scored = matches.join(dl, "ext_id").select(

@@ -263,17 +263,28 @@ FROM f ORDER BY rrf DESC, id ASC LIMIT {k}
 """.strip()
 
 
-def _phrase_tf(phrase: list[str], toks_expr: str = "toks") -> str:
+def _slots(phrase) -> list[list[str]]:
+    """Phrase spec → per-slot term lists (a str is a 1-term slot; a list
+    is a MultiPhraseQuery union slot)."""
+    return [[s] if isinstance(s, str) else list(s) for s in phrase]
+
+
+def _phrase_tf(phrase, toks_expr: str = "toks") -> str:
     """DuckDB phrase-frequency expression over a token-array column:
     anchors i where every slot j has toks[i+j] == phrase[j] (1-based
-    list indexing; generate_series(1, n-L+1) is empty when n < L)."""
-    conds = " AND ".join(
-        f"{toks_expr}[i{'+' + str(j) if j else ''}] = "
-        + "'" + t.replace("'", "''") + "'"
-        for j, t in enumerate(phrase)
-    )
+    list indexing; generate_series(1, n-L+1) is empty when n < L).
+    A list-valued slot matches ANY of its terms (MultiPhraseQuery)."""
+    slots = _slots(phrase)
+
+    def cond(j: int, terms: list[str]) -> str:
+        lhs = f"{toks_expr}[i{'+' + str(j) if j else ''}]"
+        if len(terms) == 1:
+            return lhs + " = '" + terms[0].replace("'", "''") + "'"
+        return lhs + " IN " + _terms_in(terms)
+
+    conds = " AND ".join(cond(j, t) for j, t in enumerate(slots))
     return (
-        f"len(list_filter(generate_series(1, len({toks_expr}) - {len(phrase) - 1}), "
+        f"len(list_filter(generate_series(1, len({toks_expr}) - {len(slots) - 1}), "
         f"i -> {conds}))"
     )
 
@@ -308,21 +319,27 @@ def phrase_bm25_sql(
     text_col: str = "text",
     delete_pred: str | None = None,
 ) -> str:
-    """Scored PhraseQuery oracle (Lucene PhraseWeight × BM25Similarity):
-    idf = Σ_slots ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) — every slot's
-    termStats counts, duplicates included — tf = phrase frequency, norm =
-    full doc length; stats over live docs."""
+    """Scored Phrase/MultiPhraseQuery oracle (Lucene PhraseWeight ×
+    BM25Similarity): idf = Σ over every slot's terms of
+    ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) — duplicates counted, df = 0
+    terms skipped (``IndexSearcher.termStatistics`` returns null for
+    them) — tf = phrase frequency, norm = full doc length; stats over
+    live docs. A list-valued slot is a MultiPhraseQuery union slot."""
     live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
     toks = TOKENS.format(col=text_col)
     tf = _phrase_tf(phrase)
+
+    def term_idf(w: str) -> str:
+        q = "'" + w.replace("'", "''") + "'"
+        df = f"(SELECT count(*) FROM t WHERE list_contains(toks, {q}))"
+        return (
+            f"(CASE WHEN {df} > 0 THEN "
+            f"ln(1.0 + (stats.n - {df} + 0.5) / ({df} + 0.5)) "
+            "ELSE 0.0 END)"
+        )
+
     idf_terms = " + ".join(
-        "ln(1.0 + (stats.n - "
-        f"(SELECT count(*) FROM t WHERE list_contains(toks, "
-        + "'" + w.replace("'", "''") + "'"
-        + ")) + 0.5) / ((SELECT count(*) FROM t WHERE list_contains(toks, "
-        + "'" + w.replace("'", "''") + "'"
-        + ")) + 0.5))"
-        for w in phrase
+        term_idf(w) for slot in _slots(phrase) for w in slot
     )
     return f"""
 WITH t AS (

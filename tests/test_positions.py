@@ -131,6 +131,98 @@ def test_phrase_empty_and_k0(spark, pcat):
     assert phrase_match(spark, cat, ["zzz", "quick"], CFG).count() == 0
 
 
+def brute_multi(slots):
+    out = {}
+    for did, text in DOCS:
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        tf = sum(
+            1
+            for i in range(len(toks) - len(slots) + 1)
+            if all(toks[i + j] in slots[j] for j in range(len(slots)))
+        )
+        if tf:
+            out[did] = tf
+    return out
+
+
+def test_multi_phrase_match_vs_bruteforce(spark, pcat):
+    """MultiPhraseQuery: a list-valued slot matches ANY of its terms."""
+    cat, _ = pcat
+    for slots in (
+        [["quick"], ["brown", "fox"]],
+        [["the", "a"], ["quick", "b"]],
+        [["lazy", "the"], ["dog", "end"]],
+        [["quick"], ["brown"], ["quick", "fox"]],
+    ):
+        got = {
+            r["ext_id"]: r["phrase_tf"]
+            for r in phrase_match(spark, cat, slots, CFG).collect()
+        }
+        assert got == brute_multi(slots), slots
+
+
+def test_multi_phrase_singleton_equals_plain(spark, pcat):
+    cat, _ = pcat
+    plain = {
+        r["ext_id"]: r["phrase_tf"]
+        for r in phrase_match(spark, cat, ["quick", "brown"], CFG).collect()
+    }
+    multi = {
+        r["ext_id"]: r["phrase_tf"]
+        for r in phrase_match(
+            spark, cat, [["quick"], ["brown"]], CFG
+        ).collect()
+    }
+    assert plain == multi
+
+
+def test_multi_phrase_absent_and_df0_slot_members(spark, pcat):
+    cat, _ = pcat
+    # a slot whose every term is absent matches nothing
+    assert phrase_match(spark, cat, [["quick"], ["nope1", "nope2"]], CFG).count() == 0
+    # an absent member inside a present slot is ignored
+    got = {
+        r["ext_id"]: r["phrase_tf"]
+        for r in phrase_match(
+            spark, cat, [["quick"], ["brown", "nope1"]], CFG
+        ).collect()
+    }
+    assert got == brute_multi([["quick"], ["brown"]])
+    # explicitly empty slot is an error
+    with pytest.raises(ValueError):
+        phrase_match(spark, cat, [["quick"], []], CFG)
+
+
+def test_multi_phrase_topk_scoring(spark, pcat):
+    """idf = Σ over slot members with df > 0; tf = multi-phrase freq."""
+    cat, _ = pcat
+    import math
+
+    slots = [["quick"], ["brown", "fox"]]
+    rows = phrase_topk(spark, cat, slots, k=20, cfg=CFG).collect()
+    want_tf = brute_multi(slots)
+    assert {r["ext_id"] for r in rows} == set(want_tf)
+    # recompute one score by hand
+    all_toks = [
+        __import__("re").findall(r"[a-z0-9_]+", t.lower()) for _, t in DOCS
+    ]
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in all_toks) / n
+
+    def df(w):
+        return sum(1 for t in all_toks if w in t)
+
+    idf_sum = sum(
+        math.log(1.0 + (n - df(w) + 0.5) / (df(w) + 0.5))
+        for s in slots for w in s if df(w) > 0
+    )
+    by_id = {r["ext_id"]: r["score"] for r in rows}
+    for did, tf in want_tf.items():
+        dl = len(all_toks[did])
+        want = idf_sum * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        assert abs(by_id[did] - want) < 1e-6, did
+
+
 def test_phrase_after_delete(spark, tmp_path_factory):
     # dedicated index: delete_docs mutates the catalog, so this test must
     # not share the module-scoped pcat with other tests
