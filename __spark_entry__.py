@@ -55,6 +55,7 @@ CFG = IndexConfig(rows_per_segment=200, block_size=32, prune_range=256, term_buc
 Q_OR = ["join", "vector"]
 Q_MULTI = ["spark", "customer", "dup"]
 Q_AND = ["dup", "slow"]
+DISMAX_TERMS = ["scan", "merge", "data"]
 DEL_TERM = "dup"
 DEL_PRED = f"list_contains({TOKENS.format(col='text')}, '{DEL_TERM}')"
 
@@ -873,6 +874,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").alias("ext_id")
         )
     )
+
+    # DisjunctionMaxQuery: max + tie × (sum − max) over per-term BM25
+    def _dismax(s, d):
+        from cuvs_lucene_spark.operators.bm25 import dismax_topk
+
+        return _bm25_out(
+            dismax_topk(s, _index(s, d), DISMAX_TERMS, tie_breaker=0.3,
+                        k=10, cfg=CFG)
+        )
+
+    q["dismax_bm25"] = _dismax
+
+    # SpanNearQuery over the positions sidecar: ordered 3-term chain and
+    # an unordered window (constant-score match sets)
+    q["span_near_ordered"] = lambda s, d: (
+        _P(s).span_near(s, _pos_index(s, d), ["data", "scan", "sort"],
+                        slop=6, in_order=True, cfg=CFG)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
+    q["span_near_unordered"] = lambda s, d: (
+        _P(s).span_near(s, _pos_index(s, d), ["key", "row"],
+                        slop=3, in_order=False, cfg=CFG)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
+
+    # eval-set decontamination: train docs flagged by shared 5-grams with
+    # the doc_id % 17 == 0 eval slice
+    def _decontam(s, d):
+        docs = _docs(s, d)
+        return dd.ngram_contamination(
+            train=docs.filter(F.col("doc_id") % 17 != 0),
+            evals=docs.filter(F.col("doc_id") % 17 == 0),
+            n=5,
+        )
+
+    q["decontaminate"] = _decontam
     return q
 
 
@@ -1323,4 +1360,18 @@ ORDER BY doc_id
         Q_OR, _cos_q(7), k=10, depth=50,
         filter_pred="doc_id % 2 = 0", vec_filter_pred="vec_id % 2 = 0",
     )
+    from cuvs_lucene_spark.oracle import (
+        contamination_sql,
+        dismax_sql,
+        span_near_sql,
+    )
+
+    o["dismax_bm25"] = dismax_sql(DISMAX_TERMS, tie_breaker=0.3, k=10)
+    o["span_near_ordered"] = span_near_sql(
+        ["data", "scan", "sort"], slop=6, in_order=True
+    )
+    o["span_near_unordered"] = span_near_sql(
+        ["key", "row"], slop=3, in_order=False
+    )
+    o["decontaminate"] = contamination_sql(n=5, eval_pred="doc_id % 17 = 0")
     return o

@@ -187,6 +187,21 @@ def main():
         "fuzzy_query",
         lambda: fuzzy_topk(spark, cat, "part", k=10, max_edits=2, cfg=cfg).collect(),
     )
+    from cuvs_lucene_spark.operators.bm25 import dismax_topk
+    from cuvs_lucene_spark.operators.positions import span_near
+
+    timed(
+        "dismax_query",
+        lambda: dismax_topk(
+            spark, cat, ["scan", "merge", "data"], tie_breaker=0.3, k=10, cfg=cfg
+        ).collect(),
+    )
+    timed(
+        "span_near_query",
+        lambda: span_near(
+            spark, cat, ["data", "scan"], slop=4, in_order=True, cfg=cfg
+        ).count(),
+    )
 
     # --- delete + partial merge ---
     timed("delete_by_term", lambda: delete_by_term(spark, cat, "dup", cfg))
@@ -308,6 +323,16 @@ def main():
         ).count(),
     )
     timed("quality", lambda: quality_score(docs).count())
+    from cuvs_lucene_spark.operators.dedup import ngram_contamination
+
+    timed(
+        "decontaminate",
+        lambda: ngram_contamination(
+            train=docs.filter(F.col("doc_id") % 17 != 0),
+            evals=docs.filter(F.col("doc_id") % 17 == 0),
+            n=5,
+        ).count(),
+    )
     from cuvs_lucene_spark.operators.dedup import embedding_near_dup
 
     timed("embedding_near_dup", lambda: embedding_near_dup(embs, threshold=0.4).count())

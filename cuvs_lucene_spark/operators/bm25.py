@@ -414,6 +414,7 @@ def _score_one_query(
     decoded: dict,
     visited_limit: int | None = None,
     bq: dict | None = None,
+    dismax: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Score one query against one segment with block-max range pruning.
     ``decoded`` is a shared (term, block) → (docs, tfs) cache so batched
@@ -430,7 +431,14 @@ def _score_one_query(
     required, at least ``msm`` should terms required, exclude terms
     reject the doc and never score. ``terms`` then holds the scoring
     (must+should) terms only; the range upper bounds stay valid because
-    clause constraints only REMOVE candidate docs."""
+    clause constraints only REMOVE candidate docs.
+
+    ``dismax`` (a tie-breaker in [0, 1]) switches score combination to
+    Lucene's ``DisjunctionMaxQuery``: score = max(per-term BM25) +
+    tie × (sum − max). The SUM-based range bounds stay valid upper
+    bounds because max + tie·(sum − max) ≤ sum for tie ≤ 1, so block-max
+    pruning and the bounded-heap early exit are untouched (merely
+    looser)."""
     n_docs = dls.size
     norm_denom = k1 * (1.0 - b + b * dls / avgdl)  # per-doc BM25 denominator part
 
@@ -506,6 +514,7 @@ def _score_one_query(
         lo, hi = r * R, min((r + 1) * R, n_docs)
         n_visited += hi - lo
         acc = np.zeros(hi - lo, dtype=np.float64)
+        accmax = np.zeros(hi - lo, dtype=np.float64) if dismax is not None else None
         nterms_hit = np.zeros(hi - lo, dtype=np.int32) if mode == "and" else None
         nmust_hit = (
             np.zeros(hi - lo, dtype=np.int32)
@@ -542,6 +551,11 @@ def _score_one_query(
                 tf = tfs[m].astype(np.float64)
                 contrib = t_idf * tf * (k1 + 1.0) / (tf + norm_denom[docs[m]])
                 acc[d] += contrib
+                if accmax is not None:
+                    # d is duplicate-free here (a doc appears in exactly
+                    # one block per term), so fancy-index max is safe
+                    np.maximum(accmax[d], contrib, out=contrib)
+                    accmax[d] = contrib
                 if mode == "and":
                     nterms_hit[d] += 1
                 if bq is not None:
@@ -584,7 +598,12 @@ def _score_one_query(
         if idxs.size == 0:
             continue
         cand_docs.append(idxs + lo)
-        cand_scores.append(acc[idxs])
+        if accmax is not None:
+            cand_scores.append(
+                accmax[idxs] + dismax * (acc[idxs] - accmax[idxs])
+            )
+        else:
+            cand_scores.append(acc[idxs])
         n_collected += idxs.size
         if n_collected >= k:
             allsc = np.concatenate(cand_scores)
@@ -612,6 +631,7 @@ def make_scorer(
     norms_bc=None,
     visited_limit: int | None = None,
     bq: dict | None = None,
+    dismax: float | None = None,
 ):
     """Build the per-segment scoring UDF (S1 analogue).
 
@@ -666,7 +686,7 @@ def make_scorer(
         per_term = _group_postings(postings, wanted)
         res = _score_one_query(
             per_term, terms, idf_by_term, dls, ext_ids, alive, avgdl, k, mode,
-            k1, b, R, {}, visited_limit=visited_limit, bq=bq,
+            k1, b, R, {}, visited_limit=visited_limit, bq=bq, dismax=dismax,
         )
         if res is None:
             return empty
@@ -1170,6 +1190,88 @@ def bm25_topk(
             list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
             allowed_ext=allowed_ext, filter_active=aux_filter is not None,
             visited_limit=visited_limit,
+        )
+        aux = _aux_df(spark, cat, aux_filter)
+        partials = (
+            postings.groupby("segment_id")
+            .cogroup(aux.groupby("segment_id"))
+            .applyInPandas(lambda _k, p, a: scorer(p, a), SCORE_SCHEMA)
+        )
+    return (
+        partials.orderBy(F.desc("score"), F.asc("ext_id"))
+        .limit(k)
+        .select("ext_id", "score")
+    )
+
+
+def dismax_topk(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    query_terms: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    filter_ext_ids: DataFrame | None = None,
+    visited_limit: int | None = None,
+) -> DataFrame:
+    """Lucene ``DisjunctionMaxQuery`` over BM25 term clauses →
+    DataFrame(ext_id, score).
+
+    score(doc) = max over matched terms of the BM25 contribution
+    + ``tie_breaker`` × (sum of the other matched terms' contributions)
+    — i.e. max + tie × (sum − max), ``0 ≤ tie_breaker ≤ 1``
+    (``DisjunctionMaxQuery``'s constructor contract; tie 0 = pure max,
+    tie 1 = plain disjunction sum). A doc matches when ≥ 1 term matches.
+    Stats (N, avgdl, df→idf) are over live docs, identical to
+    :func:`bm25_topk`.
+
+    Same physical shape as :func:`bm25_topk` — ONE pruned postings scan
+    for all clause terms, per-segment block-max scoring (the sum-based
+    range bounds stay valid upper bounds for tie ≤ 1), global top-k
+    (score desc, ext_id asc). The impact-cache fast path is not taken:
+    its cached partials are sum-combined."""
+    cfg = cfg or IndexConfig()
+    tie = float(tie_breaker)
+    if not 0.0 <= tie <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    terms = list(dict.fromkeys(query_terms))
+    empty = spark.createDataFrame([], "ext_id long, score double")
+    if k <= 0 or not terms:
+        return empty
+    postings = _query_postings(spark, cat, terms, cfg)
+    n, avgdl, df_by_term = _live_stats_and_df(
+        spark, cat, terms, cfg, postings, filter_ext_ids
+    )
+    df_by_term = {t: d for t, d in df_by_term.items() if d > 0}
+    if n == 0 or not df_by_term:
+        return empty
+    idf_by_term = {t: idf(n, d) for t, d in df_by_term.items()}
+    allowed_ext = None
+    aux_filter = filter_ext_ids
+    if filter_ext_ids is not None:
+        head = filter_ext_ids.limit(FILTER_BROADCAST_MAX + 1).collect()
+        if len(head) <= FILTER_BROADCAST_MAX:
+            allowed_ext = np.sort(np.array([r[0] for r in head], dtype=np.int64))
+            aux_filter = None
+    fast = (
+        aux_filter is None
+        and not _has_tombstones(spark, cat)
+        and n <= NORMS_BROADCAST_MAX_DOCS
+    )
+    if fast:
+        scorer = make_scorer(
+            list(df_by_term), idf_by_term, avgdl, k, cfg, "or",
+            allowed_ext=allowed_ext, norms_bc=_norms_broadcast(spark, cat),
+            visited_limit=visited_limit, dismax=tie,
+        )
+        partials = postings.groupby("segment_id").applyInPandas(
+            lambda p: scorer(p, None), SCORE_SCHEMA
+        )
+    else:
+        scorer = make_scorer(
+            list(df_by_term), idf_by_term, avgdl, k, cfg, "or",
+            allowed_ext=allowed_ext, filter_active=aux_filter is not None,
+            visited_limit=visited_limit, dismax=tie,
         )
         aux = _aux_df(spark, cat, aux_filter)
         partials = (

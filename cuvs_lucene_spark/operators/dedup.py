@@ -546,3 +546,58 @@ def duplicate_components(
             .select("id", F.coalesce("component", "id").alias("component"))
         )
     return comp.withColumn("keep", F.col("id") == F.col("component"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set decontamination for training corpora →
+    DataFrame(id_col, overlap_ngrams, contaminated): for EVERY train doc,
+    how many of its DISTINCT token n-grams appear in ANY eval doc, and
+    the boolean flag. Docs shorter than n tokens contribute no n-grams
+    (never contaminated by themselves).
+
+    Physical shape (100 TB): explode → distinct per side (map-side
+    partial dedup), ONE equi-join on the n-gram string — the eval side of
+    a decontamination run is benchmarks, i.e. tiny next to the corpus, so
+    AQE broadcast-converts it — then a groupBy on the train doc id. No
+    all-pairs step anywhere. At extreme gram cardinality the join key can
+    be xxhash64(g) (8-byte shuffle keys, 2^-64 collision odds); the
+    string key is kept here for bit-exact oracle parity.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def grams(df: DataFrame):
+        toks = tokenize_expr(text_col)
+        pat = "regexp_extract_all(lower({c}), '[a-z0-9_]+', 0)".format(c=text_col)
+        return F.when(
+            F.size(toks) >= n,
+            F.expr(
+                f"transform(sequence(1, size({pat}) - {n - 1}), "
+                f"i -> concat_ws(' ', slice({pat}, i, {n})))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    train_g = train.select(
+        F.col(id_col).alias("id"), F.explode(grams(train)).alias("g")
+    ).distinct()
+    eval_g = evals.select(F.explode(grams(evals)).alias("g")).distinct()
+    overlap = (
+        train_g.join(eval_g, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("o"))
+    )
+    return (
+        train.select(F.col(id_col).cast("long").alias("id"))
+        .join(overlap, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("o", F.lit(0)).cast("long").alias("overlap_ngrams"),
+            (F.coalesce("o", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -382,3 +382,104 @@ def phrase_topk(
         ).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
+
+
+def span_near(
+    spark: SparkSession,
+    cat,
+    terms: list[str],
+    slop: int = 0,
+    in_order: bool = True,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Lucene ``SpanNearQuery`` over single-term clauses →
+    DataFrame(ext_id), live docs only (constant-score match set, like the
+    multi-term ``*_docs`` queries).
+
+    - ``in_order=True``: positions p_0 < … < p_{L-1} with term_j at p_j
+      and span width p_{L-1} − p_0 − (L−1) ≤ slop (``SpanNearQuery``'s
+      ordered matcher with unit-length clauses).
+    - ``in_order=False``: some window of slop + L consecutive positions
+      contains every term. Terms must be distinct (one position per
+      clause is then automatic — the tokenizer emits one term per
+      position).
+
+    Physical shape is :func:`phrase_match`'s: a PRUNED scan of just the
+    span terms' position rows (pushed isin on the sidecar), per-segment
+    numpy matching — vectorized searchsorted chains, no per-doc Python
+    loop, no corpus scan. Scale: cost ∝ the queried terms' posting sizes
+    only, embarrassingly parallel across segments.
+
+    Reference: the host-Lucene proximity surface next to PhraseQuery
+    (SURVEY.md §2.5); span width accounting per
+    ``SpanNearQuery.SpanNearWeight`` with unit-length term spans.
+    """
+    L = len(terms)
+    if L < 2:
+        raise ValueError("span_near needs >= 2 terms")
+    if len(set(terms)) != L:
+        raise ValueError("span_near terms must be distinct")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    rows = _phrase_rows(spark, cat, list(terms))
+    w = int(slop) + L - 1  # max key distance first→last inside one doc
+    term_order = list(terms)
+    ordered = bool(in_order)
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"ext_id": pd.Series([], dtype="int64")})
+        by_term: dict[str, np.ndarray] = {}
+        for term, grp in pdf.groupby("term"):
+            parts = [_decode_positions(r) for r in grp.itertuples()]
+            keys = np.concatenate(parts)
+            if len(parts) > 1:
+                keys = np.unique(keys)
+            by_term[term] = keys
+        if any(t not in by_term for t in term_order):
+            return empty  # a clause has no position in this segment
+        A = [by_term[t] for t in term_order]
+        if ordered:
+            # left→right DP: f[i] = MAX chain start over chains ending at
+            # A[j][i]. Max start == tightest window; cross-doc starts have
+            # strictly smaller keys than same-doc ones, so the end-of-chain
+            # same-doc check below never masks a feasible same-doc chain.
+            f = A[0]
+            prev = A[0]
+            for j in range(1, L):
+                cm = np.maximum.accumulate(f)
+                idx = np.searchsorted(prev, A[j], side="left")  # prev < cur
+                g = np.where(idx > 0, cm[np.maximum(idx - 1, 0)], np.int64(-1))
+                f, prev = g, A[j]
+            last = A[-1]
+            ok = (f >= 0) & (last - f <= w) & (last // POS_SHIFT == f // POS_SHIFT)
+            hits = last[ok]
+        else:
+            # for every candidate window start (any term occurrence), the
+            # tightest covering window ends at max over terms of the next
+            # occurrence ≥ start; a match is a window of width ≤ w
+            merged = np.unique(np.concatenate(A))
+            sent = np.iinfo(np.int64).max
+            wend = np.full(merged.size, np.int64(-1))
+            for a in A:
+                idx = np.searchsorted(a, merged, side="left")
+                nxt = np.where(
+                    idx < a.size, a[np.minimum(idx, a.size - 1)], sent
+                )
+                np.maximum(wend, nxt, out=wend)
+            ok = (wend != sent) & (wend - merged <= w) & (
+                wend // POS_SHIFT == merged // POS_SHIFT
+            )
+            hits = merged[ok]
+        if hits.size == 0:
+            return empty
+        return pd.DataFrame({"ext_id": np.unique(hits // POS_SHIFT)})
+
+    out = rows.groupby("segment_id").applyInPandas(
+        lambda p: match(p), "ext_id long"
+    )
+    # distinct across segments is a no-op (a doc lives in one segment) but
+    # keeps the contract explicit after future repartitions
+    out = out.distinct()
+    if cat.exists("tombstones"):
+        out = out.join(cat.read(spark, "tombstones"), "ext_id", "left_anti")
+    return out

@@ -361,3 +361,160 @@ FROM m CROSS JOIN stats
 ORDER BY score DESC, id ASC
 LIMIT {k}
 """.strip()
+
+
+def dismax_sql(
+    terms: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """``DisjunctionMaxQuery`` oracle (operators/bm25.dismax_topk):
+    score = max(per-term BM25 contribution) + tie × (sum − max) over the
+    matched terms; stats over live docs; tie-break score desc, id asc."""
+    terms = list(dict.fromkeys(terms))
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    tie = float(tie_breaker)
+    return f"""
+WITH live_docs AS (
+  SELECT {id_col} AS id, {text_col} AS txt, len({toks}) AS dl
+  FROM {table} WHERE {live}
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM live_docs
+),
+toks AS (
+  SELECT id, unnest({TOKENS.format(col='txt')}) AS term FROM live_docs
+),
+tf AS (
+  SELECT id, term, count(*) AS tf FROM toks
+  WHERE term IN {_terms_in(terms)} GROUP BY id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT tf.id,
+         ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * live_docs.dl / stats.avgdl))
+           AS c
+  FROM tf
+  JOIN df USING (term)
+  JOIN live_docs ON live_docs.id = tf.id
+  CROSS JOIN stats
+),
+scores AS (
+  SELECT id, max(c) + {tie!r} * (sum(c) - max(c)) AS score
+  FROM contrib GROUP BY id
+)
+SELECT id AS {id_col}, round(score, {ROUND}) AS score
+FROM scores
+ORDER BY score DESC, id ASC
+LIMIT {k}
+""".strip()
+
+
+def span_near_sql(
+    terms: list[str],
+    slop: int = 0,
+    in_order: bool = True,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """``SpanNearQuery`` oracle (operators/positions.span_near) →
+    live-doc ids with a satisfying span, constant-score match set.
+
+    Ordered: positions p_0 < … < p_{L-1} with toks[p_j] = term_j and
+    width p_{L-1} − p_0 − (L−1) ≤ slop (nested EXISTS lambdas, each level
+    bounded by the window). Unordered: some window of slop + L
+    consecutive positions contains every term (terms must be distinct, so
+    the one-position-per-term requirement is automatic)."""
+    L = len(terms)
+    if L < 2:
+        raise ValueError("span_near needs >= 2 terms")
+    if len(set(terms)) != L:
+        raise ValueError("span_near terms must be distinct")
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    w = int(slop) + L - 1  # max key distance first→last
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    if in_order:
+        # innermost → outermost: level j scans positions after level j-1,
+        # bounded by i0 + w; the term check sits at each level
+        cond = "TRUE"
+        for j in range(L - 1, 0, -1):
+            prev = f"i{j - 1}"
+            cond = (
+                f"len(list_filter(generate_series({prev} + 1, least(i0 + {w}, len(toks))), "
+                f"i{j} -> toks[i{j}] = {q(terms[j])} AND {cond})) > 0"
+            )
+        pred = (
+            f"len(list_filter(generate_series(1, len(toks)), "
+            f"i0 -> toks[i0] = {q(terms[0])} AND {cond})) > 0"
+        )
+    else:
+        per_term = " AND ".join(
+            f"len(list_filter(generate_series(w0, least(w0 + {w}, len(toks))), "
+            f"i -> toks[i] = {q(t)})) > 0"
+            for t in terms
+        )
+        pred = (
+            f"len(list_filter(generate_series(1, len(toks)), "
+            f"w0 -> {per_term})) > 0"
+        )
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table} WHERE {live}
+)
+SELECT id AS {id_col} FROM t WHERE {pred} ORDER BY id
+""".strip()
+
+
+def contamination_sql(
+    n: int = 8,
+    eval_pred: str = "doc_id % 17 = 0",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Eval-set decontamination oracle (operators/dedup.ngram_contamination):
+    for every train doc (NOT eval_pred), the count of DISTINCT token
+    n-grams it shares with ANY eval doc, plus the contaminated flag.
+    Docs shorter than n tokens contribute no n-grams."""
+    toks = TOKENS.format(col=text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, ({eval_pred}) AS is_eval, {toks} AS toks FROM {table}
+),
+grams AS (
+  SELECT id, is_eval,
+         unnest(list_transform(generate_series(1, len(toks) - {n - 1}),
+                               i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS g
+  FROM t
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE is_eval
+),
+overlap AS (
+  SELECT grams.id, count(DISTINCT grams.g) AS o
+  FROM grams JOIN eval_grams USING (g)
+  WHERE NOT grams.is_eval
+  GROUP BY grams.id
+)
+SELECT t.id AS {id_col},
+       CAST(coalesce(overlap.o, 0) AS BIGINT) AS overlap_ngrams,
+       coalesce(overlap.o, 0) > 0 AS contaminated
+FROM t LEFT JOIN overlap ON overlap.id = t.id
+WHERE NOT t.is_eval
+ORDER BY t.id
+""".strip()

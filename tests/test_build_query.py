@@ -418,3 +418,55 @@ def test_bm25_batch_boolean_validation(spark, cat):
         bm25_topk_batch(
             spark, cat, {"x": {"must": ["a"], "exclude": ["a"]}}, CFG
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# DisjunctionMaxQuery (dismax_topk)
+# ---------------------------------------------------------------------------
+
+from cuvs_lucene_spark.operators.bm25 import dismax_topk
+from cuvs_lucene_spark.oracle import dismax_sql
+
+
+@pytest.mark.parametrize(
+    "terms,tie",
+    [
+        (["join", "vector"], 0.0),          # pure max
+        (["join", "vector"], 0.3),
+        (["spark", "customer", "dup"], 0.5),
+        (["join", "zzz_not_in_corpus"], 0.3),  # dead clause drops out
+    ],
+)
+def test_dismax_rank_identical(spark, cat, terms, tie):
+    got = [
+        (r["ext_id"], round(r["score"], 6))
+        for r in dismax_topk(spark, cat, terms, tie_breaker=tie, k=10, cfg=CFG).collect()
+    ]
+    exp = [(i, round(s, 6)) for i, s in _duck(dismax_sql(terms, tie_breaker=tie, k=10))]
+    assert got == exp
+
+
+def test_dismax_tie1_equals_or_sum(spark, cat):
+    """tie_breaker=1 degenerates to the plain disjunction sum — the
+    DisjunctionMaxQuery contract's upper endpoint."""
+    terms = ["join", "vector", "dup"]
+    dm = [
+        (r["ext_id"], round(r["score"], 9))
+        for r in dismax_topk(spark, cat, terms, tie_breaker=1.0, k=10, cfg=CFG).collect()
+    ]
+    plain = [
+        (r["ext_id"], round(r["score"], 9))
+        for r in bm25_topk(spark, cat, terms, k=10, mode="or", cfg=CFG).collect()
+    ]
+    assert dm == plain
+
+
+def test_dismax_validation_and_edges(spark, cat):
+    with pytest.raises(ValueError, match="tie_breaker"):
+        dismax_topk(spark, cat, ["join"], tie_breaker=1.5, k=10, cfg=CFG)
+    assert dismax_topk(spark, cat, ["join"], 0.3, k=0, cfg=CFG).count() == 0
+    assert dismax_topk(spark, cat, ["zzz_nope"], 0.3, k=10, cfg=CFG).count() == 0
+    # duplicate clauses dedupe (a DisMax over {t, t} is just {t})
+    a = [tuple(r) for r in dismax_topk(spark, cat, ["join", "join"], 0.3, 10, CFG).collect()]
+    b = [tuple(r) for r in dismax_topk(spark, cat, ["join"], 0.3, 10, CFG).collect()]
+    assert a == b

@@ -303,3 +303,99 @@ def test_streamed_epochs_maintain_positions(spark, tmp_path):
         for r in phrase_match(spark, cat, ["red", "fox"], CFG).collect()
     }
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# SpanNearQuery (span_near: ordered chains / unordered windows)
+# ---------------------------------------------------------------------------
+
+from itertools import product as _product
+
+from cuvs_lucene_spark.operators.positions import span_near
+
+
+def _brute_span(terms, slop, in_order):
+    w = slop + len(terms) - 1
+    out = set()
+    for did, text in DOCS:
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        occ = [[i for i, t in enumerate(toks) if t == q] for q in terms]
+        if any(not o for o in occ):
+            continue
+        for combo in _product(*occ):
+            if in_order:
+                if all(combo[j] < combo[j + 1] for j in range(len(combo) - 1)) \
+                        and combo[-1] - combo[0] <= w:
+                    out.add(did)
+                    break
+            else:
+                if max(combo) - min(combo) <= w:
+                    out.add(did)
+                    break
+    return out
+
+
+@pytest.mark.parametrize(
+    "terms,slop,in_order",
+    [
+        (["quick", "brown"], 0, True),    # adjacency == phrase
+        (["quick", "fox"], 1, True),      # one intervening token
+        (["the", "dog"], 4, True),
+        (["brown", "quick"], 0, False),   # unordered adjacency
+        (["fox", "lazy"], 3, False),
+        (["the", "quick", "fox"], 2, True),   # 3-term chain
+        (["dog", "the", "lazy"], 2, False),   # 3-term window
+        (["quick", "dog"], 0, True),      # never near
+    ],
+)
+def test_span_near_vs_bruteforce(spark, pcat, terms, slop, in_order):
+    cat, _ = pcat
+    got = {
+        r["ext_id"]
+        for r in span_near(spark, cat, terms, slop, in_order, CFG).collect()
+    }
+    assert got == _brute_span(terms, slop, in_order)
+
+
+def test_span_near_ordered_slop0_equals_phrase(spark, pcat):
+    cat, _ = pcat
+    got = {
+        r["ext_id"]
+        for r in span_near(spark, cat, ["quick", "brown"], 0, True, CFG).collect()
+    }
+    assert got == set(brute_phrase(["quick", "brown"]))
+
+
+def test_span_near_never_crosses_docs(spark, pcat):
+    cat, _ = pcat
+    # "fox" ends doc 9; a wide slop must not leak into the next doc
+    got = {
+        r["ext_id"]
+        for r in span_near(spark, cat, ["fox", "lazy"], 50, True, CFG).collect()
+    }
+    assert got == _brute_span(["fox", "lazy"], 50, True)
+
+
+def test_span_near_validation(spark, pcat):
+    cat, _ = pcat
+    with pytest.raises(ValueError, match=">= 2 terms"):
+        span_near(spark, cat, ["quick"], 1, True, CFG)
+    with pytest.raises(ValueError, match="distinct"):
+        span_near(spark, cat, ["quick", "quick"], 1, True, CFG)
+    with pytest.raises(ValueError, match="slop"):
+        span_near(spark, cat, ["quick", "brown"], -1, True, CFG)
+
+
+def test_span_near_respects_deletes(spark, pcat):
+    # LAST in the module: it registers a tombstone in the module-scoped
+    # index, which later queries in this file would otherwise observe
+    cat, docs = pcat
+    matches = _brute_span(["quick", "brown"], 2, True)
+    victim = sorted(matches)[0]
+    delete_docs(spark, cat, docs.filter(F.col("doc_id") == victim)
+                .select(F.col("doc_id").alias("ext_id")))
+    got = {
+        r["ext_id"]
+        for r in span_near(spark, cat, ["quick", "brown"], 2, True, CFG).collect()
+    }
+    assert got == matches - {victim}
