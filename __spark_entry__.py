@@ -56,6 +56,11 @@ Q_OR = ["join", "vector"]
 Q_MULTI = ["spark", "customer", "dup"]
 Q_AND = ["dup", "slow"]
 DISMAX_TERMS = ["scan", "merge", "data"]
+# facet ranges over n_chars: inclusive ends, "all" deliberately overlaps
+FACET_RANGES = [("short", 0, 200), ("mid", 201, 400), ("long", 401, 10**9),
+                ("all", 0, 10**9)]
+MLT_SEED = 42
+BOOSTS = {"spark": 2.0, "dup": 0.5}
 DEL_TERM = "dup"
 DEL_PRED = f"list_contains({TOKENS.format(col='text')}, '{DEL_TERM}')"
 
@@ -910,6 +915,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["decontaminate"] = _decontam
+
+    # ---- faceting over query match sets (Lucene facets module) ----
+    def _facet_lang(s, d):
+        from cuvs_lucene_spark.operators.facets import facet_counts
+
+        return facet_counts(
+            _docs(s, d), term_docs(s, _index(s, d), "data", CFG),
+            "lang", top_n=3,
+        )
+
+    def _facet_range(s, d):
+        from cuvs_lucene_spark.operators.facets import range_facet_counts
+
+        return range_facet_counts(
+            _docs(s, d), term_docs(s, _index(s, d), "data", CFG),
+            "n_chars", FACET_RANGES,
+        )
+
+    q["facet_lang"] = _facet_lang
+    q["facet_range"] = _facet_range
+
+    # ---- MoreLikeThis: query-by-document ----
+    def _mlt(s, d):
+        from cuvs_lucene_spark.operators.mlt import more_like_this_topk
+
+        return _bm25_out(
+            more_like_this_topk(
+                s, _index(s, d), _docs(s, d), MLT_SEED, k=10,
+                max_query_terms=25, min_term_freq=2, min_doc_freq=5,
+                cfg=CFG,
+            )
+        )
+
+    q["more_like_this"] = _mlt
+
+    # ---- BoostQuery-wrapped term clauses in the BM25 disjunction ----
+    q["boosted_bm25"] = lambda s, d: _bm25_out(
+        bm25_topk(s, _index(s, d), Q_MULTI, k=10, cfg=CFG, boosts=BOOSTS)
+    )
     return q
 
 
@@ -1374,4 +1418,12 @@ ORDER BY doc_id
         ["key", "row"], slop=3, in_order=False
     )
     o["decontaminate"] = contamination_sql(n=5, eval_pred="doc_id % 17 = 0")
+    from cuvs_lucene_spark.oracle import facet_sql, mlt_sql, range_facet_sql
+
+    o["facet_lang"] = facet_sql("data", "lang", top_n=3)
+    o["facet_range"] = range_facet_sql("data", "n_chars", FACET_RANGES)
+    o["more_like_this"] = mlt_sql(
+        MLT_SEED, k=10, max_query_terms=25, min_term_freq=2, min_doc_freq=5
+    )
+    o["boosted_bm25"] = bm25_sql(Q_MULTI, k=10, boosts=BOOSTS)
     return o

@@ -202,6 +202,27 @@ def main():
             spark, cat, ["data", "scan"], slop=4, in_order=True, cfg=cfg
         ).count(),
     )
+    from cuvs_lucene_spark.operators.bm25 import term_docs
+    from cuvs_lucene_spark.operators.facets import facet_counts
+    from cuvs_lucene_spark.operators.mlt import more_like_this_topk
+
+    timed(
+        "facet_lang",
+        lambda: facet_counts(
+            docs, term_docs(spark, cat, "data", cfg), "lang", top_n=5
+        ).collect(),
+    )
+    timed(
+        "more_like_this",
+        lambda: more_like_this_topk(spark, cat, docs, 42, k=10, cfg=cfg).collect(),
+    )
+    timed(
+        "boosted_query",
+        lambda: bm25_topk(
+            spark, cat, ["spark", "customer", "dup"], k=10, cfg=cfg,
+            boosts={"spark": 2.0, "dup": 0.5},
+        ).collect(),
+    )
 
     # --- delete + partial merge ---
     timed("delete_by_term", lambda: delete_by_term(spark, cat, "dup", cfg))

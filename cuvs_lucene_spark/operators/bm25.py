@@ -1119,15 +1119,31 @@ def bm25_topk(
     cfg: IndexConfig | None = None,
     filter_ext_ids: DataFrame | None = None,
     visited_limit: int | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """BM25 top-k over the index → DataFrame(ext_id, score), exact scores,
     deterministic tie-break (score desc, ext_id asc).
 
     ``visited_limit``: optional per-segment doc-visit budget (collector
     visitedLimit analogue) — caps worst-case per-leaf latency; a tiny
-    budget degrades recall, never errors."""
+    budget degrades recall, never errors.
+
+    ``boosts``: optional term → multiplier map — each clause behaves as
+    Lucene's ``BoostQuery(TermQuery, boost)``: its score contribution is
+    multiplied, matching is unchanged. Applied by scaling the term's idf,
+    so the block-max range bounds scale identically and pruning stays
+    exact; the impact cache is bypassed (its cached contributions are
+    fixed at boost 1). Boosts must be > 0; terms absent from the map keep
+    boost 1."""
     cfg = cfg or IndexConfig()
     terms = list(dict.fromkeys(query_terms))
+    if boosts:
+        bad = {
+            t: w for t, w in boosts.items()
+            if not isinstance(w, (int, float)) or not w > 0
+        }
+        if bad:
+            raise ValueError(f"boosts must be positive numbers, got {bad}")
     if k <= 0 or not terms:
         return spark.createDataFrame([], "ext_id long, score double")
     postings = _query_postings(spark, cat, terms, cfg)
@@ -1138,6 +1154,10 @@ def bm25_topk(
     if mode == "and" and len(df_by_term) < len(terms):
         return spark.createDataFrame([], "ext_id long, score double")
     idf_by_term = {t: idf(n, d) for t, d in df_by_term.items()}
+    if boosts:
+        idf_by_term = {
+            t: v * float(boosts.get(t, 1.0)) for t, v in idf_by_term.items()
+        }
     # small-filter fast path: ship the allowed set into the scorer closure
     # (one collect; no doc_map shuffle). Large filters fall back to the
     # per-segment packed-blob cogroup path.
@@ -1170,6 +1190,7 @@ def bm25_topk(
             and set(df_by_term) <= hp["terms"]
             and allowed_ext is None
             and visited_limit is None
+            and not boosts
         ):
             qspec = {"q": {"terms": list(df_by_term), "mode": mode, "k": k}}
             partials = _batch_partials_cached(

@@ -31,17 +31,25 @@ def bm25_sql(
     filter_pred: str | None = None,
     delete_pred: str | None = None,
     term_pred: str | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> str:
     """BM25 top-k oracle. Stats (N, avgdl, df) over live docs (post-delete);
     the candidate filter is PRE-semantics (restricts candidates, not stats).
     ``term_pred`` (SQL over ``term``) replaces the IN-list — the multi-term
     rewrite oracle (prefix/wildcard SCORING_BOOLEAN_REWRITE scores every
-    dictionary term matching the pattern). Tie-break: score desc, id asc.
-    Scores rounded to 6 dp."""
+    dictionary term matching the pattern). ``boosts`` multiplies each
+    term's contribution (BoostQuery-wrapped clauses — bm25_topk parity).
+    Tie-break: score desc, id asc. Scores rounded to 6 dp."""
     terms = list(dict.fromkeys(terms))
     live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
     havg = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
     tf_pred = term_pred if term_pred else f"term IN {_terms_in(terms)}"
+    boost = "1.0"
+    if boosts:
+        whens = " ".join(
+            f"WHEN '{t}' THEN {float(w)!r}" for t, w in sorted(boosts.items())
+        )
+        boost = f"(CASE term {whens} ELSE 1.0 END)"
     toks = TOKENS.format(col=text_col)
     return f"""
 WITH live_docs AS (
@@ -65,7 +73,7 @@ df AS (
 ),
 scores AS (
   SELECT tf.id,
-         sum( ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         sum( {boost} * ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
               * tf.tf * ({K1} + 1.0)
               / (tf.tf + {K1} * (1.0 - {B} + {B} * live_docs.dl / stats.avgdl))
             ) AS score
@@ -517,4 +525,131 @@ SELECT t.id AS {id_col},
 FROM t LEFT JOIN overlap ON overlap.id = t.id
 WHERE NOT t.is_eval
 ORDER BY t.id
+""".strip()
+
+
+def facet_sql(
+    term: str,
+    facet_col: str,
+    top_n: int | None = None,
+    table: str = "documents",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """Flat facet-counts oracle (operators/facets.facet_counts over a
+    TermQuery match set): per facet value, the count of live matching
+    docs, (count desc, value asc), optional top-N."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    lim = f"LIMIT {top_n}" if top_n is not None else ""
+    t = term.replace("'", "''")
+    return f"""
+SELECT CAST({facet_col} AS VARCHAR) AS value, count(*) AS count
+FROM {table}
+WHERE {live} AND list_contains({toks}, '{t}') AND {facet_col} IS NOT NULL
+GROUP BY 1
+ORDER BY count DESC, value ASC
+{lim}
+""".strip()
+
+
+def range_facet_sql(
+    term: str,
+    value_col: str,
+    ranges: list[tuple[str, int, int]],
+    table: str = "documents",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """Range facet-counts oracle (operators/facets.range_facet_counts over
+    a TermQuery match set): one row per requested inclusive range, zero
+    counts kept, overlapping ranges each count the doc."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    t = term.replace("'", "''")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{lab.replace(chr(39), chr(39) * 2)}' AS label, "
+        f"(SELECT count(*) FROM m WHERE {value_col} BETWEEN {int(lo)} AND {int(hi)}) AS count"
+        for lab, lo, hi in ranges
+    )
+    return f"""
+WITH m AS (
+  SELECT * FROM {table}
+  WHERE {live} AND list_contains({toks}, '{t}')
+)
+{arms}
+""".strip()
+
+
+def mlt_sql(
+    seed_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    max_doc_freq: int | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """MoreLikeThis oracle (operators/mlt.more_like_this_topk): select the
+    seed doc's top terms by tf × (1 + ln(N/(df+1))) (ClassicSimilarity
+    idf; tf ≥ min_term_freq, df ≥ min_doc_freq, optional df cap; selection
+    score rounded to 9 dp, ties term-asc, top max_query_terms), then score
+    the corpus with the standard BM25 disjunction over the selected
+    terms."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    max_df = f"AND cand_df.df <= {int(max_doc_freq)}" if max_doc_freq is not None else ""
+    return f"""
+WITH live_docs AS (
+  SELECT {id_col} AS id, {text_col} AS txt, len({toks}) AS dl
+  FROM {table} WHERE {live}
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM live_docs
+),
+alltoks AS (
+  SELECT id, unnest({TOKENS.format(col='txt')}) AS term FROM live_docs
+),
+seed_tf AS (
+  SELECT term, count(*) AS tf FROM alltoks WHERE id = {int(seed_id)}
+  GROUP BY term HAVING count(*) >= {int(min_term_freq)}
+),
+cand_df AS (
+  SELECT term, count(DISTINCT id) AS df FROM alltoks
+  WHERE term IN (SELECT term FROM seed_tf) GROUP BY term
+),
+sel AS (
+  SELECT seed_tf.term
+  FROM seed_tf JOIN cand_df USING (term) CROSS JOIN stats
+  WHERE cand_df.df >= {max(int(min_doc_freq), 1)} {max_df}
+  ORDER BY round(seed_tf.tf * (1.0 + ln(stats.n / (cand_df.df + 1.0))), 9) DESC,
+           seed_tf.term ASC
+  LIMIT {int(max_query_terms)}
+),
+tf AS (
+  SELECT id, term, count(*) AS tf FROM alltoks
+  WHERE term IN (SELECT term FROM sel) GROUP BY id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scores AS (
+  SELECT tf.id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * live_docs.dl / stats.avgdl))
+            ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN live_docs ON live_docs.id = tf.id
+  CROSS JOIN stats
+  GROUP BY tf.id
+)
+SELECT id AS {id_col}, round(score, {ROUND}) AS score
+FROM scores
+ORDER BY score DESC, id ASC
+LIMIT {k}
 """.strip()
