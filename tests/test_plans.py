@@ -341,3 +341,73 @@ def test_fuzzy_dictionary_scan_pushes_prefix_and_length(spark, cat):
     # any exchange — DataFilters truncates in toString, so match the plan)
     assert "length(term" in plan
     assert "Exchange" not in plan.split("FileScan")[0]
+
+
+def test_decontamination_plan_semi_join_no_cartesian(spark):
+    """ngram_contamination must meet train and eval grams in ONE equi-join
+    (semi), never a nested-loop/cartesian pairing of docs."""
+    from cuvs_lucene_spark.operators.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = ngram_contamination(
+        train=docs.filter(F.col("doc_id") % 17 != 0),
+        evals=docs.filter(F.col("doc_id") % 17 == 0),
+        n=5,
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_facet_plan_semi_join_and_hash_agg(spark, cat):
+    """facet_counts = one semi-join + a hash aggregate with map-side
+    partials (partial_count before the exchange) — no nested loops."""
+    from cuvs_lucene_spark.operators.bm25 import term_docs
+    from cuvs_lucene_spark.operators.facets import facet_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = facet_counts(docs, term_docs(spark, cat, "data", CFG), "lang", top_n=3)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_range_facet_single_pass_no_per_range_joins(spark, cat):
+    """range_facet_counts computes EVERY range in one conditional
+    aggregation: exactly the one semi-join, no union of per-range scans."""
+    from cuvs_lucene_spark.operators.bm25 import term_docs
+    from cuvs_lucene_spark.operators.facets import range_facet_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = range_facet_counts(
+        docs, term_docs(spark, cat, "data", CFG), "n_chars",
+        [("a", 0, 200), ("b", 201, 400), ("c", 0, 10**9)],
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # ONE doc-table scan feeds all three ranges (no per-range re-scan
+    # union): exactly one FileScan reads the n_chars column. The match
+    # side contributes its own (index-table) scans — not counted.
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "n_chars" in ln
+    ]
+    assert len(doc_scans) == 1, plan[:2000]
+
+
+def test_span_near_scan_pushes_span_terms(spark, cat):
+    """span_near's sidecar scan is pruned to the queried terms (pushed
+    In(term,...)), like the phrase scan it shares _phrase_rows with."""
+    from cuvs_lucene_spark.operators.positions import _phrase_rows, build_positions
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    build_positions(spark, cat, docs, CFG)
+    rows = _phrase_rows(spark, cat, ["data", "scan"])
+    plan = _plan(rows)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "term" in pushed and "In(" in pushed
