@@ -954,6 +954,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["boosted_bm25"] = lambda s, d: _bm25_out(
         bm25_topk(s, _index(s, d), Q_MULTI, k=10, cfg=CFG, boosts=BOOSTS)
     )
+
+    # ---- Lucene grouping module: TopGroups + field collapse ----
+    def _group_topk(s, d):
+        from cuvs_lucene_spark.operators.grouping import group_topk
+
+        return group_topk(
+            s, _index(s, d), _docs(s, d), Q_MULTI, "lang",
+            k_groups=3, per_group=3, cfg=CFG,
+        ).select(
+            "group_value", "group_rank", "position",
+            F.col("ext_id").alias("doc_id"), "score",
+        )
+
+    def _collapse(s, d):
+        from cuvs_lucene_spark.operators.grouping import collapse_topk
+
+        return collapse_topk(
+            s, _index(s, d), _docs(s, d), Q_OR, "source", k=10, cfg=CFG,
+        ).select(F.col("ext_id").alias("doc_id"), "group_value", "score")
+
+    q["group_by_field"] = _group_topk
+    q["field_collapse"] = _collapse
     return q
 
 
@@ -1426,4 +1448,8 @@ ORDER BY doc_id
         MLT_SEED, k=10, max_query_terms=25, min_term_freq=2, min_doc_freq=5
     )
     o["boosted_bm25"] = bm25_sql(Q_MULTI, k=10, boosts=BOOSTS)
+    from cuvs_lucene_spark.oracle import collapse_sql, group_topk_sql
+
+    o["group_by_field"] = group_topk_sql(Q_MULTI, "lang", k_groups=3, per_group=3)
+    o["field_collapse"] = collapse_sql(Q_OR, "source", k=10)
     return o

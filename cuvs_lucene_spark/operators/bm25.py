@@ -1120,6 +1120,7 @@ def bm25_topk(
     filter_ext_ids: DataFrame | None = None,
     visited_limit: int | None = None,
     boosts: dict[str, float] | None = None,
+    _no_global_sort: bool = False,
 ) -> DataFrame:
     """BM25 top-k over the index → DataFrame(ext_id, score), exact scores,
     deterministic tie-break (score desc, ext_id asc).
@@ -1218,10 +1219,43 @@ def bm25_topk(
             .cogroup(aux.groupby("segment_id"))
             .applyInPandas(lambda _k, p, a: scorer(p, a), SCORE_SCHEMA)
         )
+    if _no_global_sort:  # bm25_scored_matches: full match set, unsorted
+        return partials.select("ext_id", "score")
     return (
         partials.orderBy(F.desc("score"), F.asc("ext_id"))
         .limit(k)
         .select("ext_id", "score")
+    )
+
+
+# effectively-unbounded k for the exhaustive collection pass: the scorer's
+# bounded-heap early exit and kth-score partition never fire, so every
+# live match is emitted; per-segment cost stays ∝ the terms' postings
+_ALL_MATCHES_K = 1 << 40
+
+
+def bm25_scored_matches(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    query_terms: list[str],
+    mode: str = "or",
+    cfg: IndexConfig | None = None,
+    filter_ext_ids: DataFrame | None = None,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """EVERY scored live match (no top-k) → DataFrame(ext_id, score).
+
+    The exhaustive collection pass Lucene's second-phase collectors run
+    (grouping's ``TopGroupsCollector``, ``CollapsingTopDocsCollector``,
+    facet collection): same scoring machinery as :func:`bm25_topk`, but
+    the result is the full match set, unsorted — downstream operators
+    (grouping windows, collapse heads) impose their own order. Cost is
+    ∝ the query terms' posting sizes (never the corpus), per-segment
+    parallel; the output size is the match-set size, the same class as
+    ``term_docs``/``boolean_query`` match sets."""
+    return bm25_topk(
+        spark, cat, query_terms, k=_ALL_MATCHES_K, mode=mode, cfg=cfg,
+        filter_ext_ids=filter_ext_ids, boosts=boosts, _no_global_sort=True,
     )
 
 

@@ -271,6 +271,91 @@ FROM f ORDER BY rrf DESC, id ASC LIMIT {k}
 """.strip()
 
 
+_ALL_K = 1 << 40  # effectively-unbounded LIMIT: the full scored match set
+
+
+def group_topk_sql(
+    terms: list[str],
+    group_col: str,
+    k_groups: int = 5,
+    per_group: int = 3,
+    mode: str = "or",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """Grouped-search oracle (operators/grouping.group_topk): top
+    ``k_groups`` groups by head score (best hit, ties group asc), each
+    with its top ``per_group`` docs (score desc, id asc); scores rounded
+    to 6 dp BEFORE ranking on both sides. NULL group values excluded."""
+    base = bm25_sql(
+        terms, k=_ALL_K, mode=mode, table=table, id_col=id_col,
+        text_col=text_col, delete_pred=delete_pred,
+    )
+    return f"""
+WITH sc AS ({base}),
+g AS (
+  SELECT sc.{id_col} AS id, sc.score, CAST(d.{group_col} AS VARCHAR) AS group_value
+  FROM sc JOIN {table} d ON d.{id_col} = sc.{id_col}
+  WHERE d.{group_col} IS NOT NULL
+),
+pos AS (
+  SELECT id, score, group_value,
+         row_number() OVER (PARTITION BY group_value
+                            ORDER BY score DESC, id ASC) AS position
+  FROM g
+),
+gr AS (
+  SELECT group_value,
+         row_number() OVER (ORDER BY head_score DESC, group_value ASC) AS group_rank
+  FROM (SELECT group_value, max(score) AS head_score FROM g GROUP BY group_value)
+)
+SELECT pos.group_value, CAST(gr.group_rank AS INT) AS group_rank,
+       CAST(pos.position AS INT) AS position, pos.id AS {id_col}, pos.score
+FROM pos JOIN gr USING (group_value)
+WHERE gr.group_rank <= {int(k_groups)} AND pos.position <= {int(per_group)}
+ORDER BY gr.group_rank, pos.position
+""".strip()
+
+
+def collapse_sql(
+    terms: list[str],
+    group_col: str,
+    k: int = 10,
+    mode: str = "or",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """Field-collapse oracle (operators/grouping.collapse_topk): global
+    top-k over group heads — one best doc per group value — ranked
+    (score desc, id asc) on 6-dp-rounded scores."""
+    base = bm25_sql(
+        terms, k=_ALL_K, mode=mode, table=table, id_col=id_col,
+        text_col=text_col, delete_pred=delete_pred,
+    )
+    return f"""
+WITH sc AS ({base}),
+g AS (
+  SELECT sc.{id_col} AS id, sc.score, CAST(d.{group_col} AS VARCHAR) AS group_value
+  FROM sc JOIN {table} d ON d.{id_col} = sc.{id_col}
+  WHERE d.{group_col} IS NOT NULL
+),
+heads AS (
+  SELECT id, group_value, score,
+         row_number() OVER (PARTITION BY group_value
+                            ORDER BY score DESC, id ASC) AS position
+  FROM g
+)
+SELECT id AS {id_col}, group_value, score
+FROM heads WHERE position = 1
+ORDER BY score DESC, id ASC
+LIMIT {int(k)}
+""".strip()
+
+
 def _slots(phrase) -> list[list[str]]:
     """Phrase spec → per-slot term lists (a str is a 1-term slot; a list
     is a MultiPhraseQuery union slot)."""
