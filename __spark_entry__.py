@@ -903,6 +903,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         slop=3, in_order=False, cfg=CFG)
         .select(F.col("ext_id").alias("doc_id"))
     )
+    # SpanFirstQuery: term within the first N analyzed positions
+    q["span_first"] = lambda s, d: (
+        _P(s).span_first(s, _pos_index(s, d), "data", end=10, cfg=CFG)
+        .select(F.col("ext_id").alias("doc_id"))
+    )
+
+    # UnifiedHighlighter analogue: first-match passage from the positions
+    # sidecar + stored-field text, query terms tagged
+    def _highlight(s, d):
+        from cuvs_lucene_spark.operators.highlight import highlight
+
+        return highlight(
+            s, _pos_index(s, d), _docs(s, d), Q_OR, window=4, cfg=CFG,
+        ).select(F.col("ext_id").alias("doc_id"), "first_pos", "snippet")
+
+    q["highlight"] = _highlight
 
     # eval-set decontamination: train docs flagged by shared 5-grams with
     # the doc_id % 17 == 0 eval slice
@@ -1440,6 +1456,10 @@ ORDER BY doc_id
         ["key", "row"], slop=3, in_order=False
     )
     o["decontaminate"] = contamination_sql(n=5, eval_pred="doc_id % 17 = 0")
+    from cuvs_lucene_spark.oracle import highlight_sql, span_first_sql
+
+    o["span_first"] = span_first_sql("data", end=10)
+    o["highlight"] = highlight_sql(Q_OR, window=4)
     from cuvs_lucene_spark.oracle import facet_sql, mlt_sql, range_facet_sql
 
     o["facet_lang"] = facet_sql("data", "lang", top_n=3)

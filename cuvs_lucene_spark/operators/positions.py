@@ -384,6 +384,44 @@ def phrase_topk(
     return scored.orderBy(F.desc("score"), F.asc("ext_id")).limit(k)
 
 
+def span_first(
+    spark: SparkSession,
+    cat,
+    term: str,
+    end: int,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Lucene ``SpanFirstQuery(SpanTermQuery(term), end)`` →
+    DataFrame(ext_id): live docs where ``term`` occurs at a position
+    < ``end`` (spans ending within the first ``end`` positions; a
+    unit-length term span ending at p+1 qualifies iff p+1 ≤ end).
+
+    Same physical shape as the other sidecar queries: a pruned scan of
+    ONE term's position rows, per-segment numpy mask — cost ∝ that
+    term's postings."""
+    if not term:
+        raise ValueError("span_first needs a term")
+    if end <= 0:
+        return spark.createDataFrame([], "ext_id long")
+    rows = _phrase_rows(spark, cat, [term])
+    end_i = int(end)
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = np.concatenate([_decode_positions(r) for r in pdf.itertuples()])
+        if keys.size and len(pdf) > 1:
+            keys = np.unique(keys)
+        hits = keys[keys % POS_SHIFT < end_i]
+        return pd.DataFrame({"ext_id": np.unique(hits // POS_SHIFT)})
+
+    out = rows.groupby("segment_id").applyInPandas(
+        lambda p: match(p), "ext_id long"
+    )
+    out = out.distinct()
+    if cat.exists("tombstones"):
+        out = out.join(cat.read(spark, "tombstones"), "ext_id", "left_anti")
+    return out
+
+
 def span_near(
     spark: SparkSession,
     cat,

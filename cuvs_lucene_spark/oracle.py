@@ -573,6 +573,75 @@ SELECT id AS {id_col} FROM t WHERE {pred} ORDER BY id
 """.strip()
 
 
+def span_first_sql(
+    term: str,
+    end: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """``SpanFirstQuery`` oracle (operators/positions.span_first): live
+    docs where ``term`` occurs within the first ``end`` token positions
+    (0-based position < end ⇔ one of the first ``end`` tokens)."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    t = term.replace("'", "''")
+    return f"""
+SELECT {id_col}
+FROM {table}
+WHERE {live}
+  AND list_contains(({toks})[1:{int(end)}], '{t}')
+ORDER BY {id_col}
+""".strip()
+
+
+def highlight_sql(
+    terms: list[str],
+    window: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+) -> str:
+    """Highlighter oracle (operators/highlight.highlight): for every live
+    doc containing ≥1 query term, the 0-based first-occurrence position
+    and the ±window analyzed-token passage with query terms tagged.
+    DuckDB lists are 1-based (list_position returns 0 when absent), so
+    fp = min over terms of list_position and first_pos = fp − 1."""
+    terms = list(dict.fromkeys(terms))
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    big = 1 << 40
+    fp = "least(" + ", ".join(
+        f"coalesce(nullif(list_position(toks, '{t.replace(chr(39), chr(39) * 2)}'), 0), {big})"
+        for t in terms
+    ) + ")"
+    inlist = _terms_in(terms)
+    pre = pre_tag.replace("'", "''")
+    post = post_tag.replace("'", "''")
+    w = int(window)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table} WHERE {live}
+),
+p AS (
+  SELECT id, toks, {fp} AS fp FROM t
+)
+SELECT id AS {id_col},
+       CAST(fp - 1 AS BIGINT) AS first_pos,
+       array_to_string(
+         list_transform(toks[greatest(1, fp - {w}):least(len(toks), fp + {w})],
+                        x -> CASE WHEN x IN {inlist}
+                             THEN '{pre}' || x || '{post}' ELSE x END),
+         ' ') AS snippet
+FROM p WHERE fp < {big}
+ORDER BY id
+""".strip()
+
+
 def contamination_sql(
     n: int = 8,
     eval_pred: str = "doc_id % 17 = 0",

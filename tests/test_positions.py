@@ -399,3 +399,75 @@ def test_span_near_respects_deletes(spark, pcat):
         for r in span_near(spark, cat, ["quick", "brown"], 2, True, CFG).collect()
     }
     assert got == matches - {victim}
+
+
+# ---------------------------------------------------------------------------
+# SpanFirstQuery + highlighter
+# ---------------------------------------------------------------------------
+
+def _brute_span_first(term, end):
+    out = set()
+    for did, text in DOCS:
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        if term in toks[:end]:
+            out.add(did)
+    return out
+
+
+@pytest.mark.parametrize(
+    "term,end",
+    [("quick", 1), ("quick", 2), ("the", 1), ("fox", 3), ("dog", 100),
+     ("zzz", 5)],
+)
+def test_span_first_vs_bruteforce(spark, pcat, term, end):
+    from cuvs_lucene_spark.operators.positions import span_first
+
+    cat, _ = pcat
+    got = {r["ext_id"] for r in span_first(spark, cat, term, end, CFG).collect()}
+    assert got == _brute_span_first(term, end)
+
+
+def test_span_first_end_zero_and_validation(spark, pcat):
+    from cuvs_lucene_spark.operators.positions import span_first
+
+    cat, _ = pcat
+    assert span_first(spark, cat, "quick", 0, CFG).count() == 0
+    with pytest.raises(ValueError, match="term"):
+        span_first(spark, cat, "", 5, CFG)
+
+
+def test_highlight_vs_bruteforce(spark, pcat):
+    from cuvs_lucene_spark.operators.highlight import highlight
+
+    cat, docs = pcat
+    terms, w = ["brown", "dog"], 2
+    rows = highlight(spark, cat, docs, terms, window=w, cfg=CFG).collect()
+    got = {r["ext_id"]: (r["first_pos"], r["snippet"]) for r in rows}
+    exp = {}
+    for did, text in DOCS:
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        hits = [i for i, t in enumerate(toks) if t in terms]
+        if not hits:
+            continue
+        p = hits[0]
+        seg = toks[max(0, p - w): p + w + 1]
+        exp[did] = (
+            p,
+            " ".join(f"<b>{t}</b>" if t in terms else t for t in seg),
+        )
+    assert got == exp
+
+
+def test_highlight_match_restriction(spark, pcat):
+    from cuvs_lucene_spark.operators.highlight import highlight
+
+    cat, docs = pcat
+    keep = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("ext_id")
+    )
+    rows = highlight(
+        spark, cat, docs, ["brown"], window=1, match=keep, cfg=CFG
+    ).collect()
+    assert {r["ext_id"] for r in rows} <= {0, 1, 2}
+    full = highlight(spark, cat, docs, ["brown"], window=1, cfg=CFG).collect()
+    assert {r["ext_id"] for r in full} > {r["ext_id"] for r in rows}
