@@ -61,6 +61,9 @@ FACET_RANGES = [("short", 0, 200), ("mid", 201, 400), ("long", 401, 10**9),
                 ("all", 0, 10**9)]
 MLT_SEED = 42
 BOOSTS = {"spark": 2.0, "dup": 0.5}
+# training-mix keep rates by lang (en kept aggressively, zh downsampled,
+# unlisted langs at the 0.1 default)
+MIX_RATES = {"en": 0.9, "fr": 0.5, "zh": 0.25}
 DEL_TERM = "dup"
 DEL_PRED = f"list_contains({TOKENS.format(col='text')}, '{DEL_TERM}')"
 
@@ -778,6 +781,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["winnow_fingerprint"] = lambda s, d: textstats.winnow_fingerprints(
         _docs(s, d), k=7, w=8
     )
+    # Gopher-style within-doc repetition rule (top-2-gram fraction),
+    # shuffle-free sorted-array fold
+    q["repetition_stats"] = lambda s, d: textstats.repetition_stats(
+        _docs(s, d), n=2
+    ).select(
+        F.col("id").alias("doc_id"), "n_grams", "top_gram_frac",
+        "distinct_gram_frac", "repetitive",
+    )
+
+    # deterministic stratified training mix (per-lang keep rates)
+    def _training_mix(s, d):
+        from cuvs_lucene_spark.operators.sampling import training_mix
+
+        return training_mix(
+            _docs(s, d), MIX_RATES, default_rate=0.1, strat_col="lang"
+        ).select(F.col("id").alias("doc_id"), "stratum", "u", "keep")
+
+    q["training_mix"] = _training_mix
 
     # ---- hybrid fulltext ∪ vector retrieval (the reference's one-index-
     # two-queries model: GPUKnnFloatVectorQuery answered by the same
@@ -1460,6 +1481,10 @@ ORDER BY doc_id
 
     o["span_first"] = span_first_sql("data", end=10)
     o["highlight"] = highlight_sql(Q_OR, window=4)
+    from cuvs_lucene_spark.oracle import repetition_sql, training_mix_sql
+
+    o["repetition_stats"] = repetition_sql(n=2)
+    o["training_mix"] = training_mix_sql(MIX_RATES, default_rate=0.1)
     from cuvs_lucene_spark.oracle import facet_sql, mlt_sql, range_facet_sql
 
     o["facet_lang"] = facet_sql("data", "lang", top_n=3)

@@ -118,6 +118,64 @@ def subword_count_expr(text_col: str):
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_grams: int = 10,
+    top_frac_max: float = 0.2,
+) -> DataFrame:
+    """(id, n_grams, top_gram_frac, distinct_gram_frac, repetitive):
+    within-document n-gram repetition — the Gopher-style quality rule
+    ("fraction of the document made of its most common n-gram"; Rae et
+    al. 2021 drop docs whose top-2-gram fraction exceeds 0.20).
+
+    ``repetitive`` = n_grams ≥ min_grams AND top_gram_frac > top_frac_max
+    (short docs are never flagged — too few grams to judge).
+
+    100 TB shape: pure Catalyst higher-order functions, NO shuffle and
+    no UDF — grams are built per row, ``sort_array`` groups equal grams
+    adjacently, and ONE ``aggregate`` pass extracts the max run length
+    (= top gram count) and the distinct count. Cost is O(tokens log
+    tokens) per row inside codegen; embarrassingly parallel, zero
+    intermediate tables — unlike the explode→groupBy shape, nothing ∝
+    corpus grams ever hits the wire."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tok = f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)"
+    grams = (
+        f"CASE WHEN size({tok}) >= {n} THEN "
+        f"sort_array(transform(sequence(1, size({tok}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({tok}, i, {n})))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    # one fold over the sorted grams: (prev, current run, best run, #distinct)
+    folded = (
+        f"aggregate({grams}, "
+        f"struct(CAST('' AS string) AS prev, 0L AS run, 0L AS best, 0L AS dist), "
+        f"(a, x) -> struct(x, "
+        f"  IF(x = a.prev, a.run + 1, 1L), "
+        f"  greatest(a.best, IF(x = a.prev, a.run + 1, 1L)), "
+        f"  a.dist + IF(x = a.prev, 0L, 1L)), "
+        f"a -> struct(a.best AS best, a.dist AS dist))"
+    )
+    total = F.expr(f"size({grams})").cast("long")
+    best = F.expr(folded + ".best")
+    dist = F.expr(folded + ".dist")
+    top_frac = F.when(total > 0, best / total).otherwise(F.lit(0.0))
+    dist_frac = F.when(total > 0, dist / total).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        total.alias("n_grams"),
+        F.round(top_frac, 6).alias("top_gram_frac"),
+        F.round(dist_frac, 6).alias("distinct_gram_frac"),
+        ((total >= int(min_grams)) & (top_frac > float(top_frac_max))).alias(
+            "repetitive"
+        ),
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

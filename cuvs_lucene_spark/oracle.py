@@ -682,6 +682,72 @@ ORDER BY t.id
 """.strip()
 
 
+def repetition_sql(
+    n: int = 2,
+    min_grams: int = 10,
+    top_frac_max: float = 0.2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Within-doc n-gram repetition oracle (functions/textstats.
+    repetition_stats — the Gopher top-n-gram-fraction rule). The oracle
+    takes the unnest→groupBy route; the engine computes the same counts
+    shuffle-free with a sorted-array fold."""
+    toks = TOKENS.format(col=text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table}
+),
+g AS (
+  SELECT id,
+         unnest(list_transform(generate_series(1, len(toks) - {n - 1}),
+                               i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS gram
+  FROM t WHERE len(toks) >= {n}
+),
+c AS (
+  SELECT id, gram, count(*) AS c FROM g GROUP BY id, gram
+),
+s AS (
+  SELECT id, sum(c) AS total, max(c) AS best, count(*) AS dist
+  FROM c GROUP BY id
+)
+SELECT t.id AS {id_col},
+       CAST(coalesce(s.total, 0) AS BIGINT) AS n_grams,
+       round(coalesce(s.best * 1.0 / s.total, 0.0), {ROUND}) AS top_gram_frac,
+       round(coalesce(s.dist * 1.0 / s.total, 0.0), {ROUND}) AS distinct_gram_frac,
+       coalesce(s.total >= {int(min_grams)}
+                AND s.best * 1.0 / s.total > {float(top_frac_max)!r}, FALSE)
+         AS repetitive
+FROM t LEFT JOIN s ON s.id = t.id
+ORDER BY t.id
+""".strip()
+
+
+def training_mix_sql(
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strat_col: str = "lang",
+) -> str:
+    """Stratified training-mix oracle (operators/sampling.training_mix):
+    u = ((id mod 1048573) · 31397 mod 1048576) / 1048576 — exact int64
+    arithmetic on both sides — kept iff u < rate(stratum)."""
+    u = f"(({id_col} % 1048573) * 31397 % 1048576) / 1048576.0"
+    whens = " ".join(
+        f"WHEN '{k.replace(chr(39), chr(39) * 2)}' THEN {float(rates[k])!r}"
+        for k in sorted(rates)
+    )
+    rate = f"(CASE {strat_col} {whens} ELSE {float(default_rate)!r} END)"
+    return f"""
+SELECT {id_col}, CAST({strat_col} AS VARCHAR) AS stratum,
+       {u} AS u, {u} < {rate} AS keep
+FROM {table}
+ORDER BY {id_col}
+""".strip()
+
+
 def facet_sql(
     term: str,
     facet_col: str,
