@@ -992,6 +992,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bm25_topk(s, _index(s, d), Q_MULTI, k=10, cfg=CFG, boosts=BOOSTS)
     )
 
+    # ---- SynonymQuery: merged-TermStatistics scoring ----
+    def _synonym(s, d):
+        from cuvs_lucene_spark.operators.bm25 import synonym_topk
+
+        return _bm25_out(
+            synonym_topk(s, _index(s, d), ["data", "vector"], k=10, cfg=CFG)
+        )
+
+    q["synonym_bm25"] = _synonym
+
+    # ---- IndexSearcher.count + MatchAllDocsQuery ----
+    def _hit_count(s, d):
+        from cuvs_lucene_spark.operators.bm25 import hit_count
+
+        return hit_count(
+            s, _index(s, d), must=["dup"], any_of=Q_OR, exclude=["slow"],
+            cfg=CFG, min_should_match=1,
+        )
+
+    def _match_all(s, d):
+        from cuvs_lucene_spark.operators.bm25 import match_all_docs
+
+        return match_all_docs(s, _index(s, d), CFG).select(
+            F.col("ext_id").alias("doc_id")
+        )
+
+    q["hit_count"] = _hit_count
+    q["match_all"] = _match_all
+
     # ---- Lucene grouping module: TopGroups + field collapse ----
     def _group_topk(s, d):
         from cuvs_lucene_spark.operators.grouping import group_topk
@@ -1497,4 +1526,11 @@ ORDER BY doc_id
 
     o["group_by_field"] = group_topk_sql(Q_MULTI, "lang", k_groups=3, per_group=3)
     o["field_collapse"] = collapse_sql(Q_OR, "source", k=10)
+    from cuvs_lucene_spark.oracle import hit_count_sql, synonym_sql
+
+    o["synonym_bm25"] = synonym_sql(["data", "vector"], k=10)
+    o["hit_count"] = hit_count_sql(
+        must=["dup"], any_of=Q_OR, exclude=["slow"], min_should_match=1
+    )
+    o["match_all"] = "SELECT doc_id FROM documents ORDER BY doc_id"
     return o

@@ -415,6 +415,7 @@ def _score_one_query(
     visited_limit: int | None = None,
     bq: dict | None = None,
     dismax: float | None = None,
+    synonym: bool = False,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Score one query against one segment with block-max range pruning.
     ``decoded`` is a shared (term, block) → (docs, tfs) cache so batched
@@ -438,7 +439,16 @@ def _score_one_query(
     tie × (sum − max). The SUM-based range bounds stay valid upper
     bounds because max + tie·(sum − max) ≤ sum for tie ≤ 1, so block-max
     pruning and the bounded-heap early exit are untouched (merely
-    looser)."""
+    looser).
+
+    ``synonym`` switches to Lucene's ``SynonymQuery``: the terms score as
+    ONE pseudo-term — per-doc tf is the SUM across synonyms and every
+    entry of ``idf_by_term`` carries the SAME merged idf (caller computes
+    it from the max docFreq, as ``SynonymQuery`` merges TermStatistics),
+    so BM25's tf saturation applies once to the merged frequency. The
+    per-term block bounds stay valid: BM25_tf is concave with f(0)=0,
+    hence subadditive — f(Σtf) ≤ Σf(tf_i) — so the existing sum-of-
+    block-max range bounds only get looser, never wrong."""
     n_docs = dls.size
     norm_denom = k1 * (1.0 - b + b * dls / avgdl)  # per-doc BM25 denominator part
 
@@ -549,6 +559,9 @@ def _score_one_query(
                     continue
                 d = docs[m] - lo
                 tf = tfs[m].astype(np.float64)
+                if synonym:
+                    acc[d] += tf  # merged tf; scored once below
+                    continue
                 contrib = t_idf * tf * (k1 + 1.0) / (tf + norm_denom[docs[m]])
                 acc[d] += contrib
                 if accmax is not None:
@@ -567,6 +580,14 @@ def _score_one_query(
                         nshould_hit[d] += 1
         if acc is None:
             continue
+        if synonym:
+            # acc holds the merged tf — apply BM25 once with the shared idf
+            pos = acc > 0
+            nd = norm_denom[lo:hi]
+            syn_idf = idf_by_term[present[0]]
+            sc = np.zeros_like(acc)
+            sc[pos] = syn_idf * (k1 + 1.0) * acc[pos] / (acc[pos] + nd[pos])
+            acc = sc
         excl_mask = None
         for t, (er0, er1) in ex_spans.items():
             p = per_term[t]
@@ -632,6 +653,7 @@ def make_scorer(
     visited_limit: int | None = None,
     bq: dict | None = None,
     dismax: float | None = None,
+    synonym: bool = False,
 ):
     """Build the per-segment scoring UDF (S1 analogue).
 
@@ -687,6 +709,7 @@ def make_scorer(
         res = _score_one_query(
             per_term, terms, idf_by_term, dls, ext_ids, alive, avgdl, k, mode,
             k1, b, R, {}, visited_limit=visited_limit, bq=bq, dismax=dismax,
+            synonym=synonym,
         )
         if res is None:
             return empty
@@ -1121,6 +1144,7 @@ def bm25_topk(
     visited_limit: int | None = None,
     boosts: dict[str, float] | None = None,
     _no_global_sort: bool = False,
+    _synonym: bool = False,
 ) -> DataFrame:
     """BM25 top-k over the index → DataFrame(ext_id, score), exact scores,
     deterministic tie-break (score desc, ext_id asc).
@@ -1138,6 +1162,8 @@ def bm25_topk(
     boost 1."""
     cfg = cfg or IndexConfig()
     terms = list(dict.fromkeys(query_terms))
+    if _synonym and (mode != "or" or boosts):
+        raise ValueError("synonym scoring composes only with mode='or', no boosts")
     if boosts:
         bad = {
             t: w for t, w in boosts.items()
@@ -1155,6 +1181,11 @@ def bm25_topk(
     if mode == "and" and len(df_by_term) < len(terms):
         return spark.createDataFrame([], "ext_id long, score double")
     idf_by_term = {t: idf(n, d) for t, d in df_by_term.items()}
+    if _synonym:
+        # SynonymQuery merges TermStatistics: docFreq = max across the
+        # synonyms, tf summed in the scorer — one idf for the pseudo-term
+        syn_idf = idf(n, max(df_by_term.values()))
+        idf_by_term = {t: syn_idf for t in df_by_term}
     if boosts:
         idf_by_term = {
             t: v * float(boosts.get(t, 1.0)) for t, v in idf_by_term.items()
@@ -1192,6 +1223,7 @@ def bm25_topk(
             and allowed_ext is None
             and visited_limit is None
             and not boosts
+            and not _synonym  # cached contributions are per-term sums
         ):
             qspec = {"q": {"terms": list(df_by_term), "mode": mode, "k": k}}
             partials = _batch_partials_cached(
@@ -1202,7 +1234,7 @@ def bm25_topk(
             scorer = make_scorer(
                 list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
                 allowed_ext=allowed_ext, norms_bc=norms_bc,
-                visited_limit=visited_limit,
+                visited_limit=visited_limit, synonym=_synonym,
             )
             partials = postings.groupby("segment_id").applyInPandas(
                 lambda p: scorer(p, None), SCORE_SCHEMA
@@ -1211,7 +1243,7 @@ def bm25_topk(
         scorer = make_scorer(
             list(df_by_term), idf_by_term, avgdl, k, cfg, mode,
             allowed_ext=allowed_ext, filter_active=aux_filter is not None,
-            visited_limit=visited_limit,
+            visited_limit=visited_limit, synonym=_synonym,
         )
         aux = _aux_df(spark, cat, aux_filter)
         partials = (
@@ -1914,3 +1946,59 @@ def fetch_stored(
     """Stored-field fetch (H9): join top-k ids back to the source table.
     The top-k side is tiny → broadcast it so the source scan stays local."""
     return source_docs.join(F.broadcast(topk), on=id_col, how="inner")
+
+
+def synonym_topk(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    terms: list[str],
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    filter_ext_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene ``SynonymQuery`` top-k → DataFrame(ext_id, score): the
+    terms score as ONE pseudo-term — per-doc tf is the SUM across the
+    synonyms and docFreq is the MAX across them (``SynonymQuery.
+    createWeight`` merges the TermStatistics exactly so), hence BM25's
+    tf saturation applies once to the merged frequency instead of once
+    per term. Matching is the plain disjunction; same physical shape and
+    filter tiers as :func:`bm25_topk` (the impact cache is bypassed —
+    its cached contributions are per-term-saturated sums)."""
+    return bm25_topk(
+        spark, cat, terms, k=k, mode="or", cfg=cfg,
+        filter_ext_ids=filter_ext_ids, _synonym=True,
+    )
+
+
+def hit_count(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    must: list[str] = (),
+    any_of: list[str] = (),
+    exclude: list[str] = (),
+    cfg: IndexConfig | None = None,
+    min_should_match: int | None = None,
+) -> DataFrame:
+    """``IndexSearcher.count(query)`` analogue → one row (n_hits): the
+    live-doc count of a BooleanQuery match, with no scoring and no
+    per-doc result materialization beyond the match set's map-side
+    partial counts."""
+    m = boolean_query(
+        spark, cat, must=must, any_of=any_of, exclude=exclude, cfg=cfg,
+        min_should_match=min_should_match,
+    )
+    return m.agg(F.count("*").alias("n_hits"))
+
+
+def match_all_docs(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """``MatchAllDocsQuery`` → DataFrame(ext_id): every live doc, from
+    the doc map minus tombstones (a metadata scan — postings are never
+    touched, exactly like Lucene's all-docs iterator over liveDocs)."""
+    out = cat.read(spark, "doc_map").select("ext_id")
+    if cat.exists("tombstones"):
+        out = out.join(cat.read(spark, "tombstones"), "ext_id", "left_anti")
+    return out

@@ -207,6 +207,78 @@ def bm25_boolean_sql(
     )
 
 
+def synonym_sql(
+    terms: list[str],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """``SynonymQuery`` oracle (operators/bm25.synonym_topk): per-doc tf
+    is the SUM across the synonym terms, docFreq is the MAX across them
+    (merged TermStatistics), BM25 applied once to the merged tf; stats
+    over live docs; tie-break score desc, id asc."""
+    terms = list(dict.fromkeys(terms))
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    return f"""
+WITH live_docs AS (
+  SELECT {id_col} AS id, {text_col} AS txt, len({toks}) AS dl
+  FROM {table} WHERE {live}
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM live_docs
+),
+toks AS (
+  SELECT id, unnest({TOKENS.format(col='txt')}) AS term FROM live_docs
+),
+tf AS (
+  SELECT id, term, count(*) AS tf FROM toks
+  WHERE term IN {_terms_in(terms)} GROUP BY id, term
+),
+syn_df AS (
+  SELECT max(df) AS df FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+),
+merged AS (
+  SELECT id, sum(tf) AS tf FROM tf GROUP BY id
+),
+scores AS (
+  SELECT merged.id,
+         ln(1.0 + (stats.n - syn_df.df + 0.5) / (syn_df.df + 0.5))
+           * merged.tf * ({K1} + 1.0)
+           / (merged.tf + {K1} * (1.0 - {B} + {B} * live_docs.dl / stats.avgdl))
+           AS score
+  FROM merged
+  JOIN live_docs ON live_docs.id = merged.id
+  CROSS JOIN stats CROSS JOIN syn_df
+)
+SELECT id AS {id_col}, round(score, {ROUND}) AS score
+FROM scores
+ORDER BY score DESC, id ASC
+LIMIT {k}
+""".strip()
+
+
+def hit_count_sql(
+    must: list[str] = (),
+    any_of: list[str] = (),
+    exclude: list[str] = (),
+    min_should_match: int | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """``IndexSearcher.count`` oracle (operators/bm25.hit_count): the
+    live-doc count of the BooleanQuery match."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    match = _bool_match_pred(must, any_of, exclude, min_should_match, text_col)
+    return f"""
+SELECT count(*) AS n_hits FROM {table} WHERE {live} AND {match}
+""".strip()
+
+
 def hybrid_rrf_sql(
     terms: list[str],
     qvec_sql: str,

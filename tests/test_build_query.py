@@ -470,3 +470,60 @@ def test_dismax_validation_and_edges(spark, cat):
     a = [tuple(r) for r in dismax_topk(spark, cat, ["join", "join"], 0.3, 10, CFG).collect()]
     b = [tuple(r) for r in dismax_topk(spark, cat, ["join"], 0.3, 10, CFG).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SynonymQuery, hit_count, match_all
+# ---------------------------------------------------------------------------
+
+def test_synonym_rank_identical_and_differs_from_disjunction(spark, cat):
+    from cuvs_lucene_spark.operators.bm25 import synonym_topk
+    from cuvs_lucene_spark.oracle import synonym_sql
+
+    terms = ["join", "vector"]
+    got = [
+        (r["ext_id"], round(r["score"], 6))
+        for r in synonym_topk(spark, cat, terms, k=10, cfg=CFG).collect()
+    ]
+    exp = [(i, round(s, 6)) for i, s in _duck(synonym_sql(terms, k=10))]
+    assert got == exp
+    # merged-tf saturation is NOT the per-term disjunction: scores differ
+    dis = dict(_engine_topk(spark, cat, terms, k=10))
+    syn = dict(got)
+    shared = set(dis) & set(syn)
+    assert shared and any(abs(dis[i] - syn[i]) > 1e-6 for i in shared)
+
+
+def test_synonym_single_term_equals_term_query(spark, cat):
+    from cuvs_lucene_spark.operators.bm25 import synonym_topk
+
+    got = [
+        (r["ext_id"], round(r["score"], 6))
+        for r in synonym_topk(spark, cat, ["join"], k=10, cfg=CFG).collect()
+    ]
+    assert got == _engine_topk(spark, cat, ["join"], k=10)
+
+
+def test_synonym_validation(spark, cat):
+    with pytest.raises(ValueError, match="synonym"):
+        bm25_topk(spark, cat, ["a", "b"], mode="and", cfg=CFG, _synonym=True)
+
+
+def test_hit_count_matches_boolean_match_set(spark, cat):
+    from cuvs_lucene_spark.operators.bm25 import boolean_query, hit_count
+
+    n = hit_count(
+        spark, cat, must=["dup"], any_of=["join", "vector"], cfg=CFG
+    ).collect()[0]["n_hits"]
+    m = boolean_query(
+        spark, cat, must=["dup"], any_of=["join", "vector"], cfg=CFG
+    ).count()
+    assert n == m > 0
+
+
+def test_match_all_is_live_corpus(spark, cat):
+    from cuvs_lucene_spark.operators.bm25 import match_all_docs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {r["ext_id"] for r in match_all_docs(spark, cat, CFG).collect()}
+    assert got == {r["doc_id"] for r in docs.select("doc_id").collect()}
