@@ -223,6 +223,49 @@ def main():
             boosts={"spark": 2.0, "dup": 0.5},
         ).collect(),
     )
+    from cuvs_lucene_spark.operators.bm25 import hit_count, synonym_topk
+    from cuvs_lucene_spark.operators.grouping import collapse_topk, group_topk
+    from cuvs_lucene_spark.operators.highlight import highlight
+
+    timed(
+        "synonym_query",
+        lambda: synonym_topk(spark, cat, ["data", "vector"], k=10, cfg=cfg).collect(),
+    )
+    timed(
+        "group_query",
+        lambda: group_topk(
+            spark, cat, docs, ["spark", "customer", "dup"], "lang",
+            k_groups=3, per_group=3, cfg=cfg,
+        ).collect(),
+    )
+    timed(
+        "collapse_query",
+        lambda: collapse_topk(
+            spark, cat, docs, ["join", "vector"], "source", k=10, cfg=cfg
+        ).collect(),
+    )
+    timed(
+        "highlight_query",
+        lambda: highlight(
+            spark, cat, docs, ["join", "vector"], window=4, cfg=cfg
+        ).count(),
+    )
+    timed(
+        "hit_count",
+        lambda: hit_count(
+            spark, cat, must=["dup"], any_of=["join", "vector"], cfg=cfg
+        ).collect(),
+    )
+    from cuvs_lucene_spark.functions.textstats import repetition_stats
+    from cuvs_lucene_spark.operators.sampling import training_mix
+
+    timed("repetition", lambda: repetition_stats(docs, n=2).count())
+    timed(
+        "training_mix",
+        lambda: training_mix(
+            docs, {"en": 0.9, "fr": 0.5, "zh": 0.25}, default_rate=0.1
+        ).filter("keep").count(),
+    )
 
     # --- delete + partial merge ---
     timed("delete_by_term", lambda: delete_by_term(spark, cat, "dup", cfg))

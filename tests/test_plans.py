@@ -411,3 +411,43 @@ def test_span_near_scan_pushes_span_terms(spark, cat):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:400]
     assert "term" in pushed and "In(" in pushed
+
+
+def test_group_topk_plan_shape(spark, cat):
+    """Grouping: the k_groups head list joins back via BROADCAST (never a
+    corpus-side shuffle), the scored-matches scan keeps its pushed term
+    filter, and the only SinglePartition exchange is the constant-size
+    head ranking (≤ k_groups rows after LIMIT)."""
+    from cuvs_lucene_spark.operators.grouping import group_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = group_topk(spark, cat, docs, ["data", "merge"], "lang",
+                    k_groups=3, per_group=3, cfg=CFG)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan  # heads ride a broadcast join
+    assert "PushedFilters" in plan and "In(" in plan.split("PushedFilters")[1][:400]
+    # the group window shuffles on the group key
+    assert "hashpartitioning(group_value" in plan
+
+
+def test_highlight_scan_pruned_and_text_joined(spark, cat):
+    """Highlight: the sidecar scan is pruned to the query terms; the
+    stored-field join reads only (id, text) from the source."""
+    from cuvs_lucene_spark.operators.highlight import highlight
+    from cuvs_lucene_spark.operators.positions import build_positions
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    build_positions(spark, cat, docs, CFG)
+    plan = _plan(highlight(spark, cat, docs, ["data", "scan"], window=3, cfg=CFG))
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "term" in pushed and "In(" in pushed
+    # source read schema pruned to the id + text columns
+    seg = plan[plan.index("documents.parquet"):][:700]
+    assert "lang" not in seg.split("ReadSchema")[1][:200]
+
+
+def test_match_all_never_scans_postings(spark, cat):
+    from cuvs_lucene_spark.operators.bm25 import match_all_docs
+
+    plan = _plan(match_all_docs(spark, cat, CFG))
+    assert "postings" not in plan, "MatchAllDocs must read only the doc map"
