@@ -1021,6 +1021,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hit_count"] = _hit_count
     q["match_all"] = _match_all
 
+    # TopFieldCollector: match set sorted by a stored field (n_chars desc)
+    def _sort_by_field(s, d):
+        from cuvs_lucene_spark.operators.bm25 import sorted_topk
+
+        return sorted_topk(
+            s, _index(s, d), _docs(s, d), Q_OR, "n_chars", k=10,
+            ascending=False, cfg=CFG,
+        ).select(F.col("ext_id").alias("doc_id"), "sort_value")
+
+    q["sort_by_field"] = _sort_by_field
+
     # ---- Lucene grouping module: TopGroups + field collapse ----
     def _group_topk(s, d):
         from cuvs_lucene_spark.operators.grouping import group_topk
@@ -1533,4 +1544,7 @@ ORDER BY doc_id
         must=["dup"], any_of=Q_OR, exclude=["slow"], min_should_match=1
     )
     o["match_all"] = "SELECT doc_id FROM documents ORDER BY doc_id"
+    from cuvs_lucene_spark.oracle import sorted_topk_sql
+
+    o["sort_by_field"] = sorted_topk_sql(Q_OR, "n_chars", k=10, ascending=False)
     return o

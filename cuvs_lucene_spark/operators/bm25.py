@@ -1990,6 +1990,46 @@ def hit_count(
     return m.agg(F.count("*").alias("n_hits"))
 
 
+def sorted_topk(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    source_docs: DataFrame,
+    query_terms: list[str],
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = True,
+    cfg: IndexConfig | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``TopFieldCollector`` analogue → DataFrame(ext_id, sort_value):
+    the query's match set ordered by a stored field instead of relevance
+    (``IndexSearcher.search(query, k, new Sort(new SortField(...)))``),
+    tie-break ext_id asc — Lucene's implicit doc-id tie-break.
+
+    The sort field lives on the source table (stored-fields model); NULL
+    sort values are excluded (Lucene requires docs to have indexed the
+    SortField's doc values). Physical shape: match set (∝ the terms'
+    postings) → equi-join on the compact id → ``TakeOrderedAndProject``,
+    Spark's per-partition bounded top-k + driver merge of k·partitions
+    rows — exactly the per-leaf early-terminating TopFieldCollector
+    shape index-sorted Lucene segments give (B6/H8's sort is the index-
+    side half; this is the query-side collector)."""
+    if k <= 0:
+        return spark.createDataFrame([], "ext_id long, sort_value double")
+    m = boolean_query(spark, cat, any_of=list(query_terms), cfg=cfg)
+    vals = source_docs.filter(F.col(sort_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("ext_id"),
+        F.col(sort_col).cast("double").alias("sort_value"),
+    )
+    j = m.join(vals, "ext_id")
+    order = (
+        [F.asc("sort_value"), F.asc("ext_id")]
+        if ascending
+        else [F.desc("sort_value"), F.asc("ext_id")]
+    )
+    return j.orderBy(*order).limit(k).select("ext_id", "sort_value")
+
+
 def match_all_docs(
     spark: SparkSession,
     cat: IndexCatalog,

@@ -260,6 +260,35 @@ LIMIT {k}
 """.strip()
 
 
+def sorted_topk_sql(
+    terms: list[str],
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = True,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """``TopFieldCollector`` oracle (operators/bm25.sorted_topk): the
+    disjunction's match set ordered by a stored field, id-asc tie-break,
+    NULL sort values excluded."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    anymatch = " OR ".join(
+        f"list_contains({toks}, '{t.replace(chr(39), chr(39) * 2)}')"
+        for t in dict.fromkeys(terms)
+    )
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+SELECT {id_col}, CAST({sort_col} AS DOUBLE) AS sort_value
+FROM {table}
+WHERE {live} AND ({anymatch}) AND {sort_col} IS NOT NULL
+ORDER BY sort_value {direction}, {id_col} ASC
+LIMIT {int(k)}
+""".strip()
+
+
 def hit_count_sql(
     must: list[str] = (),
     any_of: list[str] = (),

@@ -527,3 +527,37 @@ def test_match_all_is_live_corpus(spark, cat):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     got = {r["ext_id"] for r in match_all_docs(spark, cat, CFG).collect()}
     assert got == {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def test_sorted_topk_field_collector(spark, cat):
+    from cuvs_lucene_spark.operators.bm25 import sorted_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [
+        (r["ext_id"], r["sort_value"])
+        for r in sorted_topk(
+            spark, cat, docs, ["join", "vector"], "n_chars", k=5,
+            ascending=True, cfg=CFG,
+        ).collect()
+    ]
+    exp = _duck(
+        """
+        SELECT doc_id, CAST(n_chars AS DOUBLE) FROM documents
+        WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9_]+'), 'join')
+           OR list_contains(regexp_extract_all(lower(text), '[a-z0-9_]+'), 'vector')
+        ORDER BY n_chars ASC, doc_id ASC LIMIT 5
+        """
+    )
+    assert got == exp
+    # the plan uses the bounded per-partition top-k collector
+    plan = sorted_topk(
+        spark, cat, docs, ["join"], "n_chars", k=5, cfg=CFG
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sorted_topk_k_zero(spark, cat):
+    from cuvs_lucene_spark.operators.bm25 import sorted_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sorted_topk(spark, cat, docs, ["join"], "n_chars", k=0, cfg=CFG).count() == 0
