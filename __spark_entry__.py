@@ -1032,6 +1032,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sort_by_field"] = _sort_by_field
 
+    # DirectSpellChecker: did-you-mean over the live term dictionary
+    q["spell_suggest"] = lambda s, d: (
+        _mt(s).spell_suggest(
+            s, _index(s, d), "dta", max_edits=2, num_suggestions=5,
+            transpositions=False, cfg=CFG,
+        )
+    )
+
     # ---- Lucene grouping module: TopGroups + field collapse ----
     def _group_topk(s, d):
         from cuvs_lucene_spark.operators.grouping import group_topk
@@ -1547,4 +1555,7 @@ ORDER BY doc_id
     from cuvs_lucene_spark.oracle import sorted_topk_sql
 
     o["sort_by_field"] = sorted_topk_sql(Q_OR, "n_chars", k=10, ascending=False)
+    from cuvs_lucene_spark.oracle import spell_suggest_sql
+
+    o["spell_suggest"] = spell_suggest_sql("dta", max_edits=2, num_suggestions=5)
     return o

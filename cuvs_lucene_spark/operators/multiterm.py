@@ -269,6 +269,80 @@ def fuzzy_topk(
     )
 
 
+def _plain_lev(a: str, b: str) -> int:
+    """Plain Levenshtein (no transpositions) — candidate lists are
+    dictionary-bounded (≤ max_expansions), so a driver-side DP is fine."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return len(a) + len(b)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def spell_suggest(
+    spark: SparkSession,
+    cat,
+    term: str,
+    max_edits: int = MAX_FUZZY_EDITS,
+    num_suggestions: int = 5,
+    transpositions: bool = False,
+    cfg: IndexConfig | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """``DirectSpellChecker`` (the Lucene suggest/spell module) →
+    DataFrame(suggestion, distance, df): dictionary terms within
+    ``max_edits`` of ``term``, ranked (distance asc, docFreq desc, term
+    asc) — the SuggestWordQueue ordering with frozen tie-breaks — the
+    query term itself excluded, df over LIVE docs only (a term surviving
+    only in deleted docs is not a suggestion).
+
+    Physical shape: the same pushed dictionary expansion FuzzyQuery uses
+    (StartsWith + length window + thresholded levenshtein, bounded by
+    maxClauseCount), then live docFreq for the ≤ max_expansions
+    candidates through the bm25 stats machinery; the final ranking is a
+    candidate-list-sized driver sort, exactly Lucene's in-memory
+    SuggestWord queue."""
+    from .bm25 import _live_stats_and_df, _query_postings
+
+    cfg = cfg or IndexConfig()
+    if num_suggestions <= 0:
+        return spark.createDataFrame(
+            [], "suggestion string, distance int, df long"
+        )
+    cands = [
+        c for c in fuzzy_expand(
+            spark, cat, term, max_edits, 0, transpositions, max_expansions
+        )
+        if c != term
+    ]
+    if not cands:
+        return spark.createDataFrame(
+            [], "suggestion string, distance int, df long"
+        )
+    postings = _query_postings(spark, cat, cands, cfg)
+    _n, _avgdl, df_by_term = _live_stats_and_df(
+        spark, cat, cands, cfg, postings, None
+    )
+    dist = _osa if transpositions else (lambda a, b, _cap: _plain_lev(a, b))
+    rows = sorted(
+        (
+            (c, int(dist(c, term, max_edits)), int(df_by_term.get(c, 0)))
+            for c in cands
+            if df_by_term.get(c, 0) > 0
+        ),
+        key=lambda r: (r[1], -r[2], r[0]),
+    )[: int(num_suggestions)]
+    return spark.createDataFrame(
+        rows or [], "suggestion string, distance int, df long"
+    )
+
+
 def range_expand(
     spark: SparkSession,
     cat,

@@ -260,6 +260,41 @@ LIMIT {k}
 """.strip()
 
 
+def spell_suggest_sql(
+    term: str,
+    max_edits: int = 2,
+    num_suggestions: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """``DirectSpellChecker`` oracle (operators/multiterm.spell_suggest,
+    transpositions=False so DuckDB's plain ``levenshtein`` is exact):
+    dictionary terms ≠ query within max_edits, df = live docFreq > 0,
+    ranked (distance asc, df desc, term asc)."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    q = term.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table} WHERE {live}
+),
+d AS (
+  SELECT term, count(DISTINCT id) AS df
+  FROM (SELECT id, unnest(toks) AS term FROM t)
+  GROUP BY term
+)
+SELECT term AS suggestion,
+       CAST(levenshtein(term, '{q}') AS INT) AS distance,
+       CAST(df AS BIGINT) AS df
+FROM d
+WHERE term != '{q}' AND levenshtein(term, '{q}') <= {int(max_edits)}
+ORDER BY distance ASC, df DESC, suggestion ASC
+LIMIT {int(num_suggestions)}
+""".strip()
+
+
 def sorted_topk_sql(
     terms: list[str],
     sort_col: str,

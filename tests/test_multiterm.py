@@ -212,3 +212,61 @@ def test_prefix_after_delete_drops_dead_terms(spark, tcat):
     assert got == []
     # and the scored path returns no hits either
     assert prefix_topk(spark, tcat, "uniq", k=5, cfg=CFG).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# DirectSpellChecker (suggest/spell)
+# ---------------------------------------------------------------------------
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_spell_suggest_ranking_vs_bruteforce(spark, tcat):
+    """Runs after the delete test: doc 7 is tombstoned, so its exclusive
+    vocabulary must not be suggested and dfs count live docs only."""
+    from cuvs_lucene_spark.operators.multiterm import spell_suggest
+
+    live = [(d, t) for d, t in DOCS if d != 7]
+    vocab = {}
+    for did, text in live:
+        for tok in set(text.split()):
+            vocab[tok] = vocab.get(tok, 0) + 1
+    for q in ("aple", "dat", "grap"):
+        got = [
+            (r["suggestion"], r["distance"], r["df"])
+            for r in spell_suggest(
+                spark, tcat, q, max_edits=2, num_suggestions=5,
+                transpositions=False, cfg=CFG,
+            ).collect()
+        ]
+        exp = sorted(
+            (
+                (t, _lev(t, q), df)
+                for t, df in vocab.items()
+                if t != q and _lev(t, q) <= 2
+            ),
+            key=lambda r: (r[1], -r[2], r[0]),
+        )[:5]
+        assert got == exp, q
+
+
+def test_spell_suggest_deleted_only_term_not_suggested(spark, tcat):
+    from cuvs_lucene_spark.operators.multiterm import spell_suggest
+
+    got = spell_suggest(
+        spark, tcat, "unique_trm", max_edits=2, transpositions=False, cfg=CFG
+    ).collect()
+    assert got == []
+
+
+def test_spell_suggest_num_zero(spark, tcat):
+    from cuvs_lucene_spark.operators.multiterm import spell_suggest
+
+    assert spell_suggest(spark, tcat, "aple", num_suggestions=0, cfg=CFG).count() == 0
