@@ -256,6 +256,22 @@ def main():
             spark, cat, must=["dup"], any_of=["join", "vector"], cfg=cfg
         ).collect(),
     )
+    from cuvs_lucene_spark.operators.bm25 import sorted_topk
+    from cuvs_lucene_spark.operators.multiterm import spell_suggest
+
+    timed(
+        "sort_by_field",
+        lambda: sorted_topk(
+            spark, cat, docs, ["join", "vector"], "n_chars", k=10,
+            ascending=False, cfg=cfg,
+        ).collect(),
+    )
+    timed(
+        "spell_suggest",
+        lambda: spell_suggest(
+            spark, cat, "dta", max_edits=2, transpositions=False, cfg=cfg
+        ).collect(),
+    )
     from cuvs_lucene_spark.functions.textstats import repetition_stats
     from cuvs_lucene_spark.operators.sampling import training_mix
 
