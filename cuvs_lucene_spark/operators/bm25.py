@@ -1038,45 +1038,64 @@ def _live_stats_and_df(
     row = live.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
     n = int(row["n"] or 0)
     avgdl = (int(row["t"] or 0) / n) if n else 0.0
-    # live df per term: decode query-term postings, count live docs
-    live_sets = live.select("segment_id", "doc_id")
+    rows = _live_df_frame(spark, cat, postings, live).collect()
+    return n, avgdl, {r["term"]: int(r["df"]) for r in rows}
+
+
+def _live_df_pdf(pdf):
+    """One segment's (postings ∪ alive) union rows → (term, live df)."""
     import pandas as _pd
 
-    def live_df(pdf: _pd.DataFrame) -> _pd.DataFrame:
-        out = []
-        post = pdf[pdf["side"] == "p"]
-        aliv = pdf[pdf["side"] == "a"]
-        alive_ids = np.sort(aliv["doc_id_live"].dropna().to_numpy(np.int64))
-        for t, grp in post.groupby("term"):
-            if alive_ids.size == 0:
-                out.append((t, 0))
-                continue
-            docs = np.concatenate(
-                [np.cumsum(varint_decode(r.doc_deltas), dtype=np.int64)
-                 for r in grp.itertuples()]
-            )
-            # sorted-membership: searchsorted beats np.isin-over-set rebuild
-            pos = np.searchsorted(alive_ids, docs)
-            pos = np.minimum(pos, alive_ids.size - 1)
-            out.append((t, int((alive_ids[pos] == docs).sum())))
-        return _pd.DataFrame(out, columns=["term", "df"])
+    out = []
+    post = pdf[pdf["side"] == "p"]
+    aliv = pdf[pdf["side"] == "a"]
+    alive_ids = np.sort(aliv["doc_id_live"].dropna().to_numpy(np.int64))
+    for t, grp in post.groupby("term"):
+        if alive_ids.size == 0:
+            out.append((t, 0))
+            continue
+        docs = np.concatenate(
+            [np.cumsum(varint_decode(r.doc_deltas), dtype=np.int64)
+             for r in grp.itertuples()]
+        )
+        # sorted-membership: searchsorted beats np.isin-over-set rebuild
+        pos = np.searchsorted(alive_ids, docs)
+        pos = np.minimum(pos, alive_ids.size - 1)
+        out.append((t, int((alive_ids[pos] == docs).sum())))
+    return _pd.DataFrame(out, columns=["term", "df"])
 
+
+def _live_df_frame(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    postings: DataFrame,
+    live: DataFrame | None = None,
+) -> DataFrame:
+    """Live df per term as a DATAFRAME (tombstone-aware): decode the
+    given postings' blocks per segment beside the segment's live doc
+    set, count surviving docs, sum across segments. Fully distributed —
+    usable with an unbounded term set (spell suggestions) as well as
+    the query-sized lists :func:`_live_stats_and_df` collects."""
+    if live is None:
+        dm = cat.read(spark, "doc_map")
+        tomb = cat.read(spark, "tombstones")
+        live = dm.join(tomb, "ext_id", "left_anti")
     pside = postings.select(
         "segment_id", "term", "doc_deltas", F.lit("p").alias("side"),
         F.lit(None).cast("long").alias("doc_id_live"),
     )
-    aside = live_sets.select(
+    aside = live.select(
         "segment_id", F.lit(None).cast("string").alias("term"),
         F.lit(None).cast("binary").alias("doc_deltas"), F.lit("a").alias("side"),
         F.col("doc_id").cast("long").alias("doc_id_live"),
     )
-    per_seg = (
+    return (
         pside.unionByName(aside)
         .groupBy("segment_id")
-        .applyInPandas(live_df, "term string, df long")
+        .applyInPandas(lambda p: _live_df_pdf(p), "term string, df long")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
     )
-    rows = per_seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
-    return n, avgdl, {r["term"]: int(r["df"]) for r in rows}
 
 
 def warm_term_df_memo(

@@ -19,15 +19,17 @@ exactly like operators/facets.py): scoring touches only the index, then
 one equi-join rehydrates the group value for the match set.
 
 100 TB shape: the scored match set is ∝ the query terms' postings (never
-the corpus — :func:`~.bm25.bm25_scored_matches`); the group join
-shuffles on the compact doc id (AQE broadcast-converts small match
-sets); the per-group window shuffles ONCE on the group key with
-per-partition rank truncation; group heads aggregate with map-side
-partial max so the head shuffle carries ≤ (#groups × partitions) rows;
-the final k_groups head list rides a broadcast join back. Skewed groups
-cost one window partition — the same exposure as any groupBy on the
-dimension, and per_group truncation bounds the output. Nothing is
-collected.
+the corpus — :func:`~.bm25.bm25_scored_matches`) and is collected
+EXACTLY ONCE — the whole operator is one linear DAG (position and
+head_score come from two window functions over the same group-key
+shuffle, group ranking from a dense_rank over the already-truncated
+≤ per_group-rows-per-group set), because a branched plan would re-run
+the scorer once per consumer. The group join shuffles on the compact
+doc id (AQE broadcast-converts small match sets); the final ranking
+exchange carries ≤ per_group × #groups compact rows — the same
+∝-#distinct-values budget as a facet count. Skewed groups cost one
+window partition — the same exposure as any groupBy on the dimension,
+and per_group truncation bounds the output. Nothing is collected.
 
 Scores are rounded to 6 dp BEFORE ranking (the repo-wide oracle-parity
 contract — a <1-ulp libm difference must never flip a rank), ties break
@@ -94,30 +96,32 @@ def group_topk(
     g = _grouped_matches(
         spark, cat, docs, query_terms, group_col, mode, cfg, id_col
     )
-    pos = g.withColumn(
-        "position",
+    # ONE linear DAG — the exhaustive scored collection executes exactly
+    # once (a branched heads-aggregate would re-run the whole scorer for
+    # its second consumer; plan-pinned in tests/test_plans.py). Both
+    # window functions share the group-key partitioning (one shuffle);
+    # after the per-group truncation the global dense_rank sees at most
+    # per_group rows per group of compact columns — the same ∝-#groups
+    # exchange budget as a facet count. dense_rank over (head_score,
+    # group_value) gives every row of a group the same rank and
+    # consecutive ranks across groups, i.e. exactly the head ordering.
+    wg = Window.partitionBy("group_value")
+    pos = g.select(
+        "group_value",
+        "ext_id",
+        "score",
         F.row_number().over(
-            Window.partitionBy("group_value").orderBy(
-                F.desc("score"), F.asc("ext_id")
-            )
-        ),
+            wg.orderBy(F.desc("score"), F.asc("ext_id"))
+        ).alias("position"),
+        F.max("score").over(wg).alias("head_score"),
     ).filter(F.col("position") <= per_group)
-    heads = (
-        g.groupBy("group_value")
-        .agg(F.max("score").alias("head_score"))
-        .orderBy(F.desc("head_score"), F.asc("group_value"))
-        .limit(k_groups)
-        .withColumn(
-            "group_rank",
-            F.row_number().over(
-                # k_groups rows — the tiny-window exchange is on a
-                # LIMIT-k result, constant in corpus size
-                Window.orderBy(F.desc("head_score"), F.asc("group_value"))
-            ),
-        )
-        .select("group_value", "group_rank")
+    ranked = pos.withColumn(
+        "group_rank",
+        F.dense_rank().over(
+            Window.orderBy(F.desc("head_score"), F.asc("group_value"))
+        ),
     )
-    return pos.join(F.broadcast(heads), "group_value").select(
+    return ranked.filter(F.col("group_rank") <= k_groups).select(
         "group_value",
         "group_rank",
         "position",

@@ -269,22 +269,6 @@ def fuzzy_topk(
     )
 
 
-def _plain_lev(a: str, b: str) -> int:
-    """Plain Levenshtein (no transpositions) — candidate lists are
-    dictionary-bounded (≤ max_expansions), so a driver-side DP is fine."""
-    if a == b:
-        return 0
-    if not a or not b:
-        return len(a) + len(b)
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
-
-
 def spell_suggest(
     spark: SparkSession,
     cat,
@@ -293,7 +277,6 @@ def spell_suggest(
     num_suggestions: int = 5,
     transpositions: bool = False,
     cfg: IndexConfig | None = None,
-    max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """``DirectSpellChecker`` (the Lucene suggest/spell module) →
     DataFrame(suggestion, distance, df): dictionary terms within
@@ -302,44 +285,83 @@ def spell_suggest(
     query term itself excluded, df over LIVE docs only (a term surviving
     only in deleted docs is not a suggestion).
 
-    Physical shape: the same pushed dictionary expansion FuzzyQuery uses
-    (StartsWith + length window + thresholded levenshtein, bounded by
-    maxClauseCount), then live docFreq for the ≤ max_expansions
-    candidates through the bm25 stats machinery; the final ranking is a
-    candidate-list-sized driver sort, exactly Lucene's in-memory
-    SuggestWord queue."""
-    from .bm25 import _live_stats_and_df, _query_postings
+    UNLIKE the multi-term query rewrites there is NO maxClauseCount
+    bound and nothing ever raises ``TooManyClauses``: DirectSpellChecker
+    never builds a BooleanQuery — Lucene streams FuzzyTermsEnum into a
+    bounded priority queue. The Spark mirror is fully distributed for
+    the same reason: the candidate set (pushed length window +
+    JVM-side thresholded ``levenshtein``; OSA via an Arrow-batched
+    pandas UDF when ``transpositions``) stays a DataFrame, live df joins
+    in (the global dictionary aggregate on the clean path, the
+    per-segment postings-decode frame under tombstones), and the queue
+    is ``orderBy(...).limit(n)`` — per-partition bounded top-k. At a
+    million-term dictionary neighborhood nothing is collected and
+    nothing throws."""
+    from .bm25 import _has_tombstones, _live_df_frame
 
     cfg = cfg or IndexConfig()
+    if not 0 <= max_edits <= MAX_FUZZY_EDITS:
+        raise ValueError(
+            f"max_edits must be in [0, {MAX_FUZZY_EDITS}] (Lucene "
+            "LevenshteinAutomata supported distance)"
+        )
     if num_suggestions <= 0:
         return spark.createDataFrame(
             [], "suggestion string, distance int, df long"
         )
-    cands = [
-        c for c in fuzzy_expand(
-            spark, cat, term, max_edits, 0, transpositions, max_expansions
+    q = str(term)
+    cand = (
+        cat.read(spark, "terms")
+        .select("term")
+        .filter(
+            F.length("term").between(len(q) - max_edits, len(q) + max_edits)
         )
-        if c != term
-    ]
-    if not cands:
-        return spark.createDataFrame(
-            [], "suggestion string, distance int, df long"
-        )
-    postings = _query_postings(spark, cat, cands, cfg)
-    _n, _avgdl, df_by_term = _live_stats_and_df(
-        spark, cat, cands, cfg, postings, None
+        .filter(F.col("term") != q)
+        .distinct()
     )
-    dist = _osa if transpositions else (lambda a, b, _cap: _plain_lev(a, b))
-    rows = sorted(
-        (
-            (c, int(dist(c, term, max_edits)), int(df_by_term.get(c, 0)))
-            for c in cands
-            if df_by_term.get(c, 0) > 0
-        ),
-        key=lambda r: (r[1], -r[2], r[0]),
-    )[: int(num_suggestions)]
-    return spark.createDataFrame(
-        rows or [], "suggestion string, distance int, df long"
+    if transpositions:
+        # superset cut JVM-side (one swap costs ≤ 2 plain edits), exact
+        # OSA distance in an Arrow-batched pandas UDF
+        import pandas as pd  # noqa: F401  (pandas_udf transport)
+        from pyspark.sql.functions import pandas_udf
+
+        cand = cand.filter(
+            F.levenshtein(F.col("term"), F.lit(q), 2 * max_edits) >= 0
+        )
+
+        @pandas_udf("int")
+        def osa_dist(s):
+            return s.map(lambda x: _osa(x, q, max_edits))
+
+        cand = cand.withColumn("distance", osa_dist(F.col("term")))
+    else:
+        cand = cand.withColumn(
+            "distance", F.levenshtein(F.col("term"), F.lit(q))
+        )
+    cand = cand.filter(F.col("distance") <= max_edits)
+    if _has_tombstones(spark, cat):
+        # live df via the per-segment postings-decode frame; the postings
+        # scan prunes through the candidate semi-join
+        postings = cat.read(spark, "postings").join(
+            cand.select("term"), "term", "left_semi"
+        )
+        dfs = _live_df_frame(spark, cat, postings)
+    else:
+        dfs = (
+            cat.read(spark, "terms")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+    return (
+        cand.join(dfs, "term")
+        .filter(F.col("df") > 0)
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(int(num_suggestions))
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("distance").cast("int").alias("distance"),
+            F.col("df").cast("long").alias("df"),
+        )
     )
 
 

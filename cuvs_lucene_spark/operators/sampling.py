@@ -32,8 +32,11 @@ _M = 1048576
 
 
 def mix_hash_expr(id_col: str):
-    """The frozen sampling hash → u ∈ [0, 1) as a double."""
-    h = (F.col(id_col).cast("long") % _P) * _A % _M
+    """The frozen sampling hash → u ∈ [0, 1) as a double. ``pmod`` (not
+    ``%``): SQL remainder keeps the dividend's sign, so a negative id
+    would yield u < 0 and a rate-0.0 stratum would KEEP that row —
+    source ids are not guaranteed non-negative."""
+    h = F.pmod(F.col(id_col).cast("long"), F.lit(_P)) * _A % _M
     return h / F.lit(float(_M))
 
 

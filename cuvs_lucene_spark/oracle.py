@@ -868,9 +868,11 @@ def training_mix_sql(
     strat_col: str = "lang",
 ) -> str:
     """Stratified training-mix oracle (operators/sampling.training_mix):
-    u = ((id mod 1048573) · 31397 mod 1048576) / 1048576 — exact int64
-    arithmetic on both sides — kept iff u < rate(stratum)."""
-    u = f"(({id_col} % 1048573) * 31397 % 1048576) / 1048576.0"
+    u = (pmod(id, 1048573) · 31397 mod 1048576) / 1048576 — exact int64
+    arithmetic on both sides, non-negative remainder spelled as
+    ((id % P + P) % P) so negative ids land in [0, 1) too — kept iff
+    u < rate(stratum)."""
+    u = f"((({id_col} % 1048573 + 1048573) % 1048573) * 31397 % 1048576) / 1048576.0"
     whens = " ".join(
         f"WHEN '{k.replace(chr(39), chr(39) * 2)}' THEN {float(rates[k])!r}"
         for k in sorted(rates)

@@ -93,6 +93,21 @@ def test_training_mix_statistical_rate(spark):
     assert abs(kept / 20000 - 0.3) < 0.02
 
 
+def test_training_mix_negative_ids(spark):
+    """pmod, not %: negative ids must still hash into [0, 1) — a rate-0.0
+    stratum keeps NOTHING and rate 1.0 keeps everything."""
+    neg = spark.createDataFrame(
+        [(-1, "en"), (-999999, "en"), (-7, "fr"), (0, "fr")],
+        "doc_id long, lang string",
+    )
+    out = {r["id"]: r for r in
+           training_mix(neg, {"en": 0.0, "fr": 1.0}).collect()}
+    for i, r in out.items():
+        assert 0.0 <= r["u"] < 1.0, (i, r["u"])
+    assert not out[-1]["keep"] and not out[-999999]["keep"]
+    assert out[-7]["keep"] and out[0]["keep"]
+
+
 def test_training_mix_validation(spark, docs):
     with pytest.raises(ValueError, match="rate"):
         training_mix(docs, {"en": 1.5})

@@ -414,17 +414,18 @@ def test_span_near_scan_pushes_span_terms(spark, cat):
 
 
 def test_group_topk_plan_shape(spark, cat):
-    """Grouping: the k_groups head list joins back via BROADCAST (never a
-    corpus-side shuffle), the scored-matches scan keeps its pushed term
-    filter, and the only SinglePartition exchange is the constant-size
-    head ranking (≤ k_groups rows after LIMIT)."""
+    """Grouping: the exhaustive scored collection executes EXACTLY once
+    (one pandas scorer node — a branched heads aggregate would re-run
+    the whole BM25 pass for its second consumer), the scored-matches
+    scan keeps its pushed term filter, and the group window shuffles on
+    the group key."""
     from cuvs_lucene_spark.operators.grouping import group_topk
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     df = group_topk(spark, cat, docs, ["data", "merge"], "lang",
                     k_groups=3, per_group=3, cfg=CFG)
     plan = _plan(df)
-    assert "BroadcastExchange" in plan  # heads ride a broadcast join
+    assert plan.count("FlatMapGroupsInPandas") == 1
     assert "PushedFilters" in plan and "In(" in plan.split("PushedFilters")[1][:400]
     # the group window shuffles on the group key
     assert "hashpartitioning(group_value" in plan
