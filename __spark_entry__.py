@@ -1039,6 +1039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             transpositions=False, cfg=CFG,
         )
     )
+    # suggest-module prefix completion ranked by live docFreq
+    q["complete_prefix"] = lambda s, d: (
+        _mt(s).complete(s, _index(s, d), "s", num_suggestions=5, cfg=CFG)
+    )
 
     # ---- Lucene grouping module: TopGroups + field collapse ----
     def _group_topk(s, d):
@@ -1558,4 +1562,7 @@ ORDER BY doc_id
     from cuvs_lucene_spark.oracle import spell_suggest_sql
 
     o["spell_suggest"] = spell_suggest_sql("dta", max_edits=2, num_suggestions=5)
+    from cuvs_lucene_spark.oracle import complete_sql
+
+    o["complete_prefix"] = complete_sql("s", num_suggestions=5)
     return o

@@ -365,6 +365,57 @@ def spell_suggest(
     )
 
 
+def complete(
+    spark: SparkSession,
+    cat,
+    prefix: str,
+    num_suggestions: int = 5,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Prefix completion (the Lucene suggest module's dictionary lookup,
+    ``Lookup`` over an index-reader dictionary weighted by docFreq) →
+    DataFrame(suggestion, df): live dictionary terms starting with
+    ``prefix`` ranked (df desc, term asc), top ``num_suggestions``.
+
+    Same distributed shape as :func:`spell_suggest`: pushed StartsWith
+    on the dictionary scan, live df joined in (dictionary aggregate /
+    per-segment postings decode under tombstones), ``orderBy + limit``
+    as the bounded queue — no clause cap, nothing collected."""
+    from .bm25 import _has_tombstones, _live_df_frame
+
+    if not prefix:
+        raise ValueError("complete needs a non-empty prefix")
+    if num_suggestions <= 0:
+        return spark.createDataFrame([], "suggestion string, df long")
+    cand = (
+        cat.read(spark, "terms")
+        .select("term")
+        .filter(F.col("term").startswith(prefix))
+        .distinct()
+    )
+    if _has_tombstones(spark, cat):
+        postings = cat.read(spark, "postings").join(
+            cand, "term", "left_semi"
+        )
+        dfs = _live_df_frame(spark, cat, postings)
+    else:
+        dfs = (
+            cat.read(spark, "terms")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+    return (
+        cand.join(dfs, "term")
+        .filter(F.col("df") > 0)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(num_suggestions))
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
 def range_expand(
     spark: SparkSession,
     cat,

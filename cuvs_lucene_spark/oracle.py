@@ -295,6 +295,36 @@ LIMIT {int(num_suggestions)}
 """.strip()
 
 
+def complete_sql(
+    prefix: str,
+    num_suggestions: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_pred: str | None = None,
+) -> str:
+    """Prefix-completion oracle (operators/multiterm.complete): live
+    dictionary terms with the prefix ranked (df desc, term asc)."""
+    live = f"NOT ({delete_pred})" if delete_pred else "TRUE"
+    toks = TOKENS.format(col=text_col)
+    p = prefix.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table} WHERE {live}
+),
+d AS (
+  SELECT term, count(DISTINCT id) AS df
+  FROM (SELECT id, unnest(toks) AS term FROM t)
+  WHERE starts_with(term, '{p}')
+  GROUP BY term
+)
+SELECT term AS suggestion, CAST(df AS BIGINT) AS df
+FROM d
+ORDER BY df DESC, suggestion ASC
+LIMIT {int(num_suggestions)}
+""".strip()
+
+
 def sorted_topk_sql(
     terms: list[str],
     sort_col: str,

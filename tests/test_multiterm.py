@@ -270,3 +270,28 @@ def test_spell_suggest_num_zero(spark, tcat):
     from cuvs_lucene_spark.operators.multiterm import spell_suggest
 
     assert spell_suggest(spark, tcat, "aple", num_suggestions=0, cfg=CFG).count() == 0
+
+
+def test_complete_prefix_ranked_by_live_df(spark, tcat):
+    """Runs after the delete test: doc 7 is tombstoned — its exclusive
+    vocabulary must not complete, dfs count live docs only."""
+    from cuvs_lucene_spark.operators.multiterm import complete
+
+    live = [(d, t) for d, t in DOCS if d != 7]
+    vocab = {}
+    for _did, text in live:
+        for tok in set(text.split()):
+            vocab[tok] = vocab.get(tok, 0) + 1
+    got = [
+        (r["suggestion"], r["df"])
+        for r in complete(spark, tcat, "a", num_suggestions=5, cfg=CFG).collect()
+    ]
+    exp = sorted(
+        ((t, df) for t, df in vocab.items() if t.startswith("a")),
+        key=lambda r: (-r[1], r[0]),
+    )[:5]
+    assert got == exp
+    # tombstoned-only vocabulary never completes
+    assert complete(spark, tcat, "unique", cfg=CFG).count() == 0
+    with pytest.raises(ValueError, match="prefix"):
+        complete(spark, tcat, "", cfg=CFG)
