@@ -272,6 +272,12 @@ def main():
             spark, cat, "dta", max_edits=2, transpositions=False, cfg=cfg
         ).collect(),
     )
+    from cuvs_lucene_spark.operators.multiterm import complete
+
+    timed(
+        "complete_prefix",
+        lambda: complete(spark, cat, "s", num_suggestions=5, cfg=cfg).collect(),
+    )
     from cuvs_lucene_spark.functions.textstats import repetition_stats
     from cuvs_lucene_spark.operators.sampling import training_mix
 
