@@ -152,21 +152,34 @@ def repetition_stats(
     )
     # one fold over the sorted grams: (prev, current run, best run, #distinct)
     folded = (
-        f"aggregate({grams}, "
-        f"struct(CAST('' AS string) AS prev, 0L AS run, 0L AS best, 0L AS dist), "
-        f"(a, x) -> struct(x, "
-        f"  IF(x = a.prev, a.run + 1, 1L), "
-        f"  greatest(a.best, IF(x = a.prev, a.run + 1, 1L)), "
-        f"  a.dist + IF(x = a.prev, 0L, 1L)), "
-        f"a -> struct(a.best AS best, a.dist AS dist))"
+        "aggregate(_grams, "
+        "struct(CAST('' AS string) AS prev, 0L AS run, 0L AS best, 0L AS dist), "
+        "(a, x) -> struct(x, "
+        "  IF(x = a.prev, a.run + 1, 1L), "
+        "  greatest(a.best, IF(x = a.prev, a.run + 1, 1L)), "
+        "  a.dist + IF(x = a.prev, 0L, 1L)), "
+        "a -> struct(a.best AS best, a.dist AS dist))"
     )
-    total = F.expr(f"size({grams})").cast("long")
-    best = F.expr(folded + ".best")
-    dist = F.expr(folded + ".dist")
+    # three-step projection so the physical plan evaluates each expensive
+    # tree ONCE: Spark skips subexpression elimination for trees holding a
+    # LambdaVariable, and CollapseProject keeps a multi-referenced
+    # non-cheap producer in its own Project — so materializing the gram
+    # array, then the folded struct + size, then deriving the four output
+    # columns, turns ~7 gram builds + ~3 folds per row into 1 + 1
+    # (results unchanged; the derivations are the same expressions)
+    step1 = docs.select(F.col(id_col).alias("id"), F.expr(grams).alias("_grams"))
+    step2 = step1.select(
+        "id",
+        F.size("_grams").cast("long").alias("_total"),
+        F.expr(folded).alias("_f"),
+    )
+    total = F.col("_total")
+    best = F.col("_f.best")
+    dist = F.col("_f.dist")
     top_frac = F.when(total > 0, best / total).otherwise(F.lit(0.0))
     dist_frac = F.when(total > 0, dist / total).otherwise(F.lit(0.0))
-    return docs.select(
-        F.col(id_col).alias("id"),
+    return step2.select(
+        F.col("id"),
         total.alias("n_grams"),
         F.round(top_frac, 6).alias("top_gram_frac"),
         F.round(dist_frac, 6).alias("distinct_gram_frac"),

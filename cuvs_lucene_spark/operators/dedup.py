@@ -27,10 +27,39 @@ from pyspark.sql import functions as F
 
 from cuvs_lucene_spark.functions.tokenize import tokenize_expr
 
+# node-count ceiling for duplicate_components' broadcast tier: 2M (id,
+# label) rows ≈ 32 MB framed — comfortably under broadcast limits; larger
+# graphs take the pinned-partitioning shuffle tier
+COMPONENTS_BCAST_MAX_NODES = 2_000_000
+
 
 def _canon_text(text_col: str):
     """Canonical form = tokens joined by single spaces (case/punct-invariant)."""
     return F.array_join(tokenize_expr(text_col), " ")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least ``defaultParallelism`` input partitions before a
+    heavy narrow projection (md5 minhash folds, simhash bit sums): a
+    single small parquet file would otherwise serialize the whole
+    per-row compute through ONE task (guide §2.6 idle capacity — the
+    same guard :func:`segments.build_index` applies before its flush).
+    No-op when the input is already well-partitioned, so at real scale
+    (many files) nothing is shuffled."""
+    spark = df.sparkSession
+    try:
+        n = len(df.inputFiles())
+    except Exception:
+        n = 0
+    if n == 0:
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+    p = spark.sparkContext.defaultParallelism
+    if 0 < n < p:
+        return df.repartition(p)
+    return df
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -90,6 +119,37 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def _minhash_wide(
+    docs: DataFrame, id_col: str, text_col: str, n_perm: int, shingle_n: int
+) -> DataFrame:
+    """(id, mh_0..mh_{P-1}): per-doc minhashes as a NARROW per-row
+    projection — mh_p = array_min(transform(shingles, s -> md5(p|'|'|s))).
+
+    Zero shuffles and zero row explosion: the shingle array is
+    materialized once in an intermediate select (its own projection, so
+    CollapseProject keeps the expensive regexp/transform tree single-
+    evaluation despite P downstream references), then every minhash is a
+    per-row array fold. Replaces the previous explode → groupBy(id)
+    shape: the min over exploded shingle rows equals the array_min over
+    the (already-distinct) shingle array, with the full-corpus shingle
+    shuffle and hash-aggregate removed outright (guide §2.4)."""
+    def _mh(p: int):
+        # closure factory, NOT a default arg: pyspark binds one lambda
+        # variable per parameter, so a 2-arg lambda would receive the
+        # array index as its second argument
+        return lambda s: F.md5(F.concat_ws("|", F.lit(p), s))
+
+    return _spread(docs).select(
+        F.col(id_col).alias("id"), _shingles(text_col, shingle_n).alias("_sh")
+    ).select(
+        "id",
+        *[
+            F.array_min(F.transform(F.col("_sh"), _mh(p))).alias(f"mh_{p}")
+            for p in range(n_perm)
+        ],
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -100,17 +160,9 @@ def minhash_signatures(
     """(id, p, mh): per-doc minhash under P md5 'permutations'
     (mh_p = min over shingles of md5(p || '|' || shingle)).
 
-    All P minhashes are computed as P aggregate columns in ONE pass over
-    the shingle rows (single shuffle on id; no row explosion — at 10^12
-    docs the shingle stream dominates, so a P× crossJoin would multiply
-    shuffle volume by P for nothing)."""
-    sh = doc_shingles(docs, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(p), F.col("shingle")))).alias(f"mh_{p}")
-        for p in range(n_perm)
-    ]
-    wide = sh.groupBy("id").agg(*aggs)
-    # unpivot back to the (id, p, mh) long shape
+    Computed shuffle-free per row (see :func:`_minhash_wide`), then
+    unpivoted to the (id, p, mh) long shape."""
+    wide = _minhash_wide(docs, id_col, text_col, n_perm, shingle_n)
     pairs = []
     for p in range(n_perm):
         pairs += [f"'{p}'", f"mh_{p}"]
@@ -127,27 +179,47 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket."""
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Shape: per-row band signatures (no shuffle — :func:`_minhash_wide`),
+    then ONE groupBy((band, sig)) collecting the bucket's sorted ids and
+    expanding the i<j pairs inside a nested-transform expression. The
+    previous self-join evaluated the whole signature pipeline TWICE (a
+    self-join's two aliases are independent subtrees) and shuffled both;
+    this computes signatures once and shuffles one compact (id, band,
+    sig) row per band per doc (guide §2.3/§2.4). Pair volume within a
+    bucket is unchanged (quadratic in bucket size — inherent to LSH
+    candidate semantics; md5 band signatures are high-entropy, so buckets
+    are true near-dup groups, not hash hot spots)."""
     rows_per_band = n_perm // bands
-    sigs = (
-        minhash_signatures(docs, id_col, text_col, n_perm, shingle_n)
-        .withColumn("band", (F.col("p") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "mh"))), lambda x: x["mh"]
-                ),
-                ",",
-            ).alias("sig")
+    wide = _minhash_wide(docs, id_col, text_col, n_perm, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = wide.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("pr"))
+        .select(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -185,33 +257,47 @@ def ngram_jaccard_pairs(
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash fingerprints: per-token md5-derived hash, tf-weighted
-    sign aggregation per bit. (id, simhash long)."""
-    tf = (
-        docs.select(F.col(id_col).alias("id"), F.explode(tokenize_expr(text_col)).alias("t"))
-        .groupBy("id", "t")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"))
+    sign aggregation per bit. (id, simhash long).
+
+    Computed as a PURE per-row projection — zero shuffles, zero row
+    explosion. The tf weighting is algebraically absorbed: the per-bit
+    sum over DISTINCT tokens of ±tf equals the sum over all token
+    OCCURRENCES of ±1 (each of a token's tf occurrences contributes the
+    same sign), so no (id, token) aggregate is needed; each bit's sum is
+    one array fold over the per-row token-hash array. The hash array is
+    materialized in its own select (projection barrier) so md5 runs once
+    per token despite ``bits`` downstream references. Replaces the
+    previous explode → groupBy(id,t) → ``bits``× explode → two more
+    groupBys (3 shuffles and a 32× row multiplication) per guide
+    §2.4/§1.2. Docs with zero tokens are excluded (explode semantics of
+    the original — preserved exactly)."""
+    hs = F.transform(
+        tokenize_expr(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
-    bit = tf.select(
-        "id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    ).withColumn(
-        "w",
-        F.when(F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-            -F.col("tf")
-        ),
+    base = (
+        _spread(docs).filter(F.size(tokenize_expr(text_col)) > 0)
+        .select(F.col(id_col).alias("id"), hs.alias("_hs"))
     )
-    return (
-        bit.groupBy("id", "b")
-        .agg(F.sum("w").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy("id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    def _bit_sum(b: int):
+        # closure factory (see _minhash_wide): the merge lambda must take
+        # exactly (acc, element)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sums = [
+        F.aggregate(F.col("_hs"), F.lit(0).cast("long"), _bit_sum(b)).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    stepped = base.select("id", *sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"s_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return stepped.select("id", sim.alias("simhash"))
 
 
 def simhash_near_dup(
@@ -256,23 +342,31 @@ def simhash_near_dup(
             )
         ).alias("bv"),
     ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    # Self-join on (band, val) generates bucket pairs inside the
+    # codegen'd join (narrow 8-bit band values make candidate volume
+    # quadratic in bucket size, so per-pair cost matters — the join's
+    # generated loop beats any interpreted expression expansion), with
+    # the hamming verification applied IN THE SAME STAGE as the join
+    # output, BEFORE the distinct: only the few true near-dup pairs ever
+    # hit the distinct's exchange, where previously every candidate pair
+    # (tens of millions at modest corpus sizes) was shuffled through it
+    # (guide §2.3 shuffle fewer bytes). Result provably identical:
+    # hamming is functionally determined by (id_a, id_b), so
+    # filter-then-distinct equals the old distinct-then-filter. The two
+    # join sides each evaluate the simhash projection — cheap, shuffle-
+    # free and spread across tasks (see :func:`simhash`).
     a, b = band_vals.alias("a"), band_vals.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
         a.join(b, ["band", "val"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -314,27 +408,42 @@ def embedding_near_dup(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import FloatType
 
     spark = vectors.sparkSession
+    # ship float32 when the source column IS float32 (parquet embeddings):
+    # f32→f64 widening is exact, so packing the narrower type halves every
+    # shuffled matrix byte with bit-identical cosines (guide §2.3 narrower
+    # types); double sources keep the f64 pack (no precision loss allowed).
+    elem_t = vectors.schema[vector_col].dataType.elementType
+    f32 = isinstance(elem_t, FloatType)
+    pack_np = np.float32 if f32 else np.float64
     base = vectors.select(
         F.col(id_col).alias("id"),
-        F.transform(F.col(vector_col), lambda v: v.cast("double")).alias("v"),
+        (
+            F.col(vector_col)
+            if f32
+            else F.transform(F.col(vector_col), lambda v: v.cast("double"))
+        ).alias("v"),
     ).withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy(np.int64)
         order = np.argsort(ids)
         ids = ids[order]
-        m = np.stack([np.asarray(v, np.float64) for v in pdf["v"].to_numpy()])[order]
+        m = np.stack([np.asarray(v, pack_np) for v in pdf["v"].to_numpy()])[order]
         return pd.DataFrame(
             {"blk": [int(pdf["blk"].iloc[0])], "n": [np.int32(ids.size)],
              "dim": [np.int32(m.shape[1])], "ids": [ids.tobytes()],
              "mat": [m.tobytes()]}
         )
 
+    # materialize the B packs ONCE: both join sides below derive from
+    # `packs`, and without the checkpoint the self-referencing plan would
+    # run the pack shuffle + pandas stage twice (one per alias)
     packs = base.groupBy("blk").applyInPandas(
         pack, "blk int, n int, dim int, ids binary, mat binary"
-    )
+    ).localCheckpoint(eager=True)
     pair_rows = [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b]
     pairs = spark.createDataFrame(pair_rows, "ba int, bb int")
     a_side = packs.select(
@@ -353,8 +462,10 @@ def embedding_near_dup(
             for r in pdf.itertuples():
                 ia = np.frombuffer(r.ids_a, np.int64)
                 ib = np.frombuffer(r.ids_b, np.int64)
-                ma = np.frombuffer(r.mat_a, np.float64).reshape(r.na, r.dim)
-                mb = np.frombuffer(r.mat_b, np.float64).reshape(r.nb, r.dim)
+                # compute in f64 regardless of the packed width (f32→f64
+                # is exact, so cosines are bit-identical to the f64 pack)
+                ma = np.frombuffer(r.mat_a, pack_np).reshape(r.na, r.dim).astype(np.float64)
+                mb = np.frombuffer(r.mat_b, pack_np).reshape(r.nb, r.dim).astype(np.float64)
                 na = np.linalg.norm(ma, axis=1)
                 nb = np.linalg.norm(mb, axis=1)
                 na[na == 0] = 1.0
@@ -470,40 +581,82 @@ def duplicate_components(
     instead of O(diameter); a fixpoint is the component minimum.
     ``max_iterations`` is a generous backstop.
 
-    Scale shape: each round is TWO equi-joins on the node id + ONE
-    groupBy(min) — compact long keys, no crossJoin, partial aggregation
-    map-side. Every round eagerly ``localCheckpoint``s the new label
-    table and unpersists the previous round's frames — lineage stays one
-    round deep and executor storage stays bounded at two label tables
-    (iterative-plan hygiene; an unbounded cache chain OOMs the driver
-    long before the algorithm converges). Deterministic: min is
+    Scale shape, two tiers keyed on the NODE count (node rows are 16
+    bytes, so the label table is many orders of magnitude smaller than
+    the edge table a near-dup pipeline emits — dense dup clusters make
+    |E| quadratic in cluster size while |V| stays the corpus size):
+
+    - **broadcast tier** (nodes ≤ ``COMPONENTS_BCAST_MAX_NODES``): each
+      round broadcasts the label table and streams the checkpointed
+      canonical edge list through two broadcast-hash joins + one
+      map-side-partial groupBy(min) — the edge table is NEVER shuffled,
+      not even once (guide §3.1: broadcast replaces the big side's
+      exchange).
+    - **shuffle tier** (bigger graphs): a directed edge copy is
+      checkpointed hash-partitioned on the join key, and the label table
+      is re-pinned to the same layout each round, so the per-round
+      edges⋈labels sort-merge join re-shuffles neither side (guide
+      §2.4 exchange reuse).
+
+    Every round eagerly ``localCheckpoint``s the new label table
+    (carrying a ``chg`` convergence flag, so fixpoint detection is a
+    scan, not a labels⋈labels join job) and unpersists the previous
+    round's — lineage stays one round deep and executor storage stays
+    bounded at two label tables. Deterministic: min is
     order-independent.
 
     ``all_ids`` (one ``id`` column, optional): include singletons with
     ``component = id`` so the output is a TOTAL decision table.
     """
+    spark = pairs.sparkSession
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
     # materialize the pair graph ONCE — candidate generation (band joins,
     # hamming verify, ...) upstream of `pairs` must not re-execute every
-    # propagation round
+    # propagation round. Canonical (min, max) normalization halves the
+    # distinct's shuffle vs the old both-directions union (the directed
+    # copy, when the shuffle tier needs one, is a narrow union of the
+    # checkpointed rows — no second distinct).
     und = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     labels = (
-        und.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+        und.select(F.explode(F.array("a", "b")).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
-    for it in range(max_iterations):
-        nbr_min = (
-            und.join(labels, und["a"] == labels["id"])
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("label").alias("nmin"))
+    n_nodes = labels.count()
+    bcast = n_nodes <= COMPONENTS_BCAST_MAX_NODES
+    if not bcast:
+        und_dir = (
+            und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .repartition(n_part, "a")
+            .localCheckpoint(eager=True)
         )
+    for it in range(max_iterations):
+        if bcast:
+            lb = F.broadcast(labels)
+            nbr = (
+                und.join(lb, und["a"] == lb["id"])
+                .select(F.col("b").alias("id"), "label")
+                .unionByName(
+                    und.join(lb, und["b"] == lb["id"]).select(
+                        F.col("a").alias("id"), "label"
+                    )
+                )
+            )
+        else:
+            nbr = und_dir.join(labels, und_dir["a"] == labels["id"]).select(
+                F.col("b").alias("id"), "label"
+            )
+        nbr_min = nbr.groupBy("id").agg(F.min("label").alias("nmin"))
         cand = labels.join(nbr_min, "id", "left").select(
             "id",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
         )
         # pointer jump: every label IS a node id, so follow one hop
@@ -512,26 +665,34 @@ def duplicate_components(
         hop = labels.select(
             F.col("id").alias("hid"), F.col("label").alias("hlabel")
         )
-        new_labels = (
-            cand.join(hop, cand["label"] == hop["hid"], "left")
-            .select(
-                cand["id"],
-                F.least(cand["label"], F.coalesce("hlabel", cand["label"])).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        if bcast:
+            hop = F.broadcast(hop)
+        new_labels = cand.join(hop, cand["label"] == hop["hid"], "left").select(
+            cand["id"],
+            F.least(cand["label"], F.coalesce("hlabel", cand["label"])).alias(
+                "label"
+            ),
+            # convergence flag carried WITH the labels: the old label
+            # rode along through the round, so detecting a fixpoint is
+            # a scan of this checkpointed table — the previous
+            # per-round labels⋈new_labels join job (an extra shuffle +
+            # full recompute) is gone (guide §2.4)
+            (
+                F.least(cand["label"], F.coalesce("hlabel", cand["label"]))
+                != cand["old_label"]
+            ).alias("chg"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        if not bcast:
+            # pin the label table's partitioning to the directed edge
+            # table's key layout so next round's edges⋈labels join is
+            # exchange-free on BOTH sides
+            new_labels = new_labels.repartition(n_part, "id")
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter("chg").count()
         # the previous round's checkpointed labels are now obsolete —
         # release their storage (bounded at two label tables live)
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     else:

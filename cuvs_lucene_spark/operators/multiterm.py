@@ -347,8 +347,17 @@ def spell_suggest(
         )
         dfs = _live_df_frame(spark, cat, postings)
     else:
+        # the SAME edit-window predicate as `cand`, applied BEFORE the
+        # aggregate: Catalyst cannot push the join filter through a
+        # groupBy, so without this the df aggregate would shuffle the
+        # entire vocabulary (results unchanged — the join keeps only
+        # cand terms either way, and the filter is a cand superset)
         dfs = (
             cat.read(spark, "terms")
+            .filter(
+                F.length("term").between(len(q) - max_edits, len(q) + max_edits)
+            )
+            .filter(F.col("term") != q)
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )
@@ -399,8 +408,13 @@ def complete(
         )
         dfs = _live_df_frame(spark, cat, postings)
     else:
+        # prefix-filter the dictionary scan feeding the aggregate (see
+        # spell_suggest): StartsWith pushes to the parquet scan, so the
+        # df aggregate touches only the prefix's terms instead of the
+        # full vocabulary (results unchanged — cand join is the gate)
         dfs = (
             cat.read(spark, "terms")
+            .filter(F.col("term").startswith(prefix))
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )
