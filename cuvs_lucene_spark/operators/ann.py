@@ -287,29 +287,45 @@ def build_ann(
     cat.write(flat, "ann_flat")
     cat.mark_stage("ann_flat")
 
-    # thin row-level (segment_id, ext_id) map — the DataFrame-filter tier's
-    # join target (and the merge policy's id→segment resolver)
-    cat.write(
-        base.select("segment_id", "ext_id"),
-        "ann_ids",
-        sort_within_partitions=["segment_id", "ext_id"],
-    )
-    cat.mark_stage("ann_ids")
-
     # derived stages read the committed flat blobs (merge reads flat only, M4)
     flat_df = cat.read(spark, "ann_flat")
 
-    cat.write(_sq_rows(flat_df, ann.metric), "ann_sq")
-    cat.mark_stage("ann_sq")
+    # the four remaining tables are mutually independent (ids derives
+    # from the input, sq/bq/ivf from the committed flat) — write them
+    # from a small driver thread pool so their Spark jobs overlap
+    # (guide §2.6): the build commit pays the SLOWEST write instead of
+    # the sum of four. Manifest commits serialize under the catalog's
+    # lock; each thread writes a distinct table.
+    def _w_ids():
+        # thin row-level (segment_id, ext_id) map — the DataFrame-filter
+        # tier's join target (and the merge policy's id→segment resolver)
+        cat.write(
+            base.select("segment_id", "ext_id"),
+            "ann_ids",
+            sort_within_partitions=["segment_id", "ext_id"],
+        )
+        cat.mark_stage("ann_ids")
 
-    cat.write(_bq_rows(flat_df, ann.metric), "ann_bq")
-    cat.mark_stage("ann_bq")
+    def _w_sq():
+        cat.write(_sq_rows(flat_df, ann.metric), "ann_sq")
+        cat.mark_stage("ann_sq")
 
-    cat.write(
-        _ivf_rows(flat_df, ann, ann.metric),
-        "ann_ivf",
-        sort_within_partitions=["segment_id", "list_id"],
-    )
+    def _w_bq():
+        cat.write(_bq_rows(flat_df, ann.metric), "ann_bq")
+        cat.mark_stage("ann_bq")
+
+    def _w_ivf():
+        cat.write(
+            _ivf_rows(flat_df, ann, ann.metric),
+            "ann_ivf",
+            sort_within_partitions=["segment_id", "list_id"],
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for f in [pool.submit(fn) for fn in (_w_ids, _w_sq, _w_bq, _w_ivf)]:
+            f.result()
     # segments below min_ann_index_size emit no IVF rows; record them so the
     # IVF search path can brute-force exactly those (B2 per-leaf fallback)
     # without re-deriving the set per query
@@ -1990,27 +2006,37 @@ def merge_ann(
         (F.col("segment_id") >= gen_base)
         & (F.col("segment_id") < ANN_MERGE_BASE + ((gen + 1) << 32))
     )
-    for table, df in (
-        ("ann_sq", _sq_rows(new_flat_df, metric)),
-        ("ann_bq", _bq_rows(new_flat_df, metric)),
-        ("ann_ivf", _ivf_rows(new_flat_df, cfg.ann, metric)),
-    ):
-        cat.append(
-            df, table, tag=tag,
-            extra_entry={"dropped_segments": _dropped_for(table)},
-        )
+    derived = [
+        ("ann_sq", lambda: _sq_rows(new_flat_df, metric)),
+        ("ann_bq", lambda: _bq_rows(new_flat_df, metric)),
+        ("ann_ivf", lambda: _ivf_rows(new_flat_df, cfg.ann, metric)),
+    ]
     if cat.exists("ann_graph"):
         from cuvs_lucene_spark.operators.ann_graph import _graph_rows
 
-        cat.append(
-            _graph_rows(new_flat_df, cfg, metric=metric), "ann_graph", tag=tag,
-            extra_entry={"dropped_segments": _dropped_for("ann_graph")},
+        derived.append(
+            ("ann_graph", lambda: _graph_rows(new_flat_df, cfg, metric=metric))
         )
     if cat.exists("ann_pq"):
+        derived.append(("ann_pq", lambda: _pq_rows(new_flat_df, cfg, metric)))
+
+    # the derived-table appends are mutually independent (each reads the
+    # committed flat only) — run their Spark jobs concurrently from a
+    # driver thread pool (guide §2.6); manifest commits serialize under
+    # the catalog lock. Crash-consistency is unchanged: _derived_in_sync
+    # already detects ANY subset of missing tags (the appends were never
+    # atomic as a group).
+    def _append_one(table, mk):
         cat.append(
-            _pq_rows(new_flat_df, cfg, metric), "ann_pq", tag=tag,
-            extra_entry={"dropped_segments": _dropped_for("ann_pq")},
+            mk(), table, tag=tag,
+            extra_entry={"dropped_segments": _dropped_for(table)},
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(derived)) as pool:
+        for f in [pool.submit(_append_one, t, mk) for t, mk in derived]:
+            f.result()
     if cat.exists("ann_ivfpq") and cat.exists("ann_pq"):
         gen_hi = ANN_MERGE_BASE + ((gen + 1) << 32)
         in_gen = (F.col("segment_id") >= gen_base) & (F.col("segment_id") < gen_hi)

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from cuvs_lucene_spark.config import IndexConfig, shuffle_partitions
 from cuvs_lucene_spark.functions.varint import varint_decode
 from cuvs_lucene_spark.operators.segments import corpus_stats, term_bucket_py
-from cuvs_lucene_spark.sources.catalog import IndexCatalog
+from cuvs_lucene_spark.sources.catalog import IndexCatalog, stats_version
 
 SCORE_SCHEMA = "segment_id long, ext_id long, score double"
 MATCH_SCHEMA = "segment_id long, ext_id long"
@@ -120,7 +120,7 @@ def _norms_broadcast(spark: SparkSession, cat: IndexCatalog):
     is a single Spark job. Gated by NORMS_BROADCAST_MAX_DOCS (12 bytes per
     doc); larger corpora stay on the cogroup path."""
     m = cat.read_manifest()
-    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
+    ver = stats_version(m)
     memo = getattr(cat, "_norms_memo", None)
     if memo is not None and memo["ver"] == ver:
         return memo["bc"]
@@ -150,8 +150,7 @@ def _hot_cache_key(cat: IndexCatalog, cfg) -> tuple:
     """Impact-cache identity: manifest version AND the BM25 params the
     cached contributions were baked with — a different (k1, b) must miss."""
     m = cat.read_manifest()
-    ver = max((e.get("committed_at", 0) for e in m["tables"].values()), default=0)
-    return (ver, float(cfg.bm25.k1), float(cfg.bm25.b))
+    return (stats_version(m), float(cfg.bm25.k1), float(cfg.bm25.b))
 
 
 def _cache_get(bcs, term: str):
@@ -991,21 +990,14 @@ def _live_stats_and_df(
         # over an unchanged index pay ZERO driver-side stats jobs.
         m = cat.read_manifest()
         tg = m["tables"].get("terms_global")
-        latest = max(
-            (e.get("committed_at", 0) for e in m["tables"].values()), default=0
-        )
+        # sidecar-insensitive version (see catalog.stats_version): a
+        # positions build must not invalidate the df memo or mark the
+        # dictionary stale — neither changes any term statistic
+        latest = stats_version(m)
         fresh = (
             tg is not None
             and tg.get("snapshot")
-            and tg.get("committed_at", 0)
-            >= max(
-                (
-                    e.get("committed_at", 0)
-                    for t, e in m["tables"].items()
-                    if t != "terms_global"
-                ),
-                default=0,
-            )
+            and tg.get("committed_at", 0) >= latest
         )
         memo = getattr(cat, "_term_df_memo", None)
         if memo is None or memo.get("ver") != latest:
@@ -1111,19 +1103,9 @@ def warm_term_df_memo(
     if not tg.get("snapshot"):
         return
     # same freshness gate as _live_stats_and_df: never stamp dfs from a
-    # dictionary older than the newest table commit as current
-    latest = max(
-        (e.get("committed_at", 0) for e in m["tables"].values()), default=0
-    )
-    others = max(
-        (
-            e.get("committed_at", 0)
-            for t, e in m["tables"].items()
-            if t != "terms_global"
-        ),
-        default=0,
-    )
-    if tg.get("committed_at", 0) < others:
+    # dictionary older than the newest statistics-bearing table commit
+    latest = stats_version(m)
+    if tg.get("committed_at", 0) < latest:
         return  # stale dictionary: let queries take the live-df path
     rows = (
         cat.read(spark, "terms_global")

@@ -280,8 +280,15 @@ def merge_segments(
     # runs together (block re-numbering is per-term), and a bare gkey group
     # would funnel ALL terms of a merged segment into one pandas task,
     # undoing stage 1's salting.
-    new_postings = partials.groupby("gkey", "term_bucket").applyInPandas(
-        _stage2_fn(newseg, cfg.block_size), POSTINGS_SCHEMA
+    # materialized ONCE: the commit union consumes new_postings twice
+    # (the 'post' rows AND the per-term dictionary aggregate) — without
+    # the checkpoint, ReuseExchange dedupes only the shuffle feeding
+    # stage 2, so the stage-2 pandas k-way merge itself would run twice
+    # (measured ~2-3s of the merge commit at sf1.0; guide §2.4)
+    new_postings = (
+        partials.groupby("gkey", "term_bucket")
+        .applyInPandas(_stage2_fn(newseg, cfg.block_size), POSTINGS_SCHEMA)
+        .localCheckpoint(eager=True)
     )
 
     # --- commit: ONE tagged segdata append holding ALL of the merged
@@ -337,6 +344,7 @@ def merge_segments(
         },
     )
     cat.define_views(SEGDATA_VIEWS, "segdata")
+    new_postings.unpersist()
 
     # tombstones referencing physically-dropped docs are cleared (M5);
     # the row count rides the manifest so queries skip the isEmpty job

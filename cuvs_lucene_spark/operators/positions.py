@@ -242,12 +242,33 @@ def refresh_positions(
     return n_missing
 
 
+def _sidecar_fresh(spark: SparkSession, cat) -> bool:
+    """Memoized coverage check: does the sidecar cover every live
+    segment? Keyed on (stats version, positions commit time), so a repeat
+    query on an unchanged index pays ZERO staleness jobs — the anti-join
+    re-runs only after a commit that could actually change coverage
+    (build/merge/delete or a positions rebuild)."""
+    from cuvs_lucene_spark.sources.catalog import stats_version
+
+    m = cat.read_manifest()
+    key = (
+        stats_version(m),
+        m["tables"].get("positions", {}).get("committed_at", 0),
+    )
+    memo = getattr(cat, "_pos_fresh_memo", None)
+    if memo is not None and memo["ver"] == key:
+        return memo["ok"]
+    ok = _missing_segs(spark, cat).limit(1).count() == 0
+    cat._pos_fresh_memo = {"ver": key, "ok": ok}
+    return ok
+
+
 def _phrase_rows(spark: SparkSession, cat, terms: list[str]) -> DataFrame:
     if not cat.exists("positions"):
         raise PositionsStaleError(
             "no positions sidecar — run build_positions(spark, cat, docs)"
         )
-    if _missing_segs(spark, cat).limit(1).count() > 0:
+    if not _sidecar_fresh(spark, cat):
         raise PositionsStaleError(
             "positions sidecar missing live segments — "
             "run refresh_positions(spark, cat, docs)"

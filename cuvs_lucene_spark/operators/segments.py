@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from cuvs_lucene_spark.config import IndexConfig
 from cuvs_lucene_spark.functions.tokenize import doclen_expr, tokenize_py
 from cuvs_lucene_spark.functions.varint import varint_encode
-from cuvs_lucene_spark.sources.catalog import IndexCatalog
+from cuvs_lucene_spark.sources.catalog import IndexCatalog, stats_version
 
 POSTINGS_SCHEMA = (
     "segment_id long, term string, term_bucket int, block_id int, "
@@ -390,9 +390,22 @@ def build_index(
         n_parts = 0
     if n_parts == 0:
         n_parts = base.rdd.getNumPartitions()
-    if n_parts < spark.sparkContext.defaultParallelism:
-        base = base.repartition(spark.sparkContext.defaultParallelism, "ext_id")
     base = assign_segments(base, cfg, segmenter)
+    if n_parts < spark.sparkContext.defaultParallelism:
+        if segmenter == "partition":
+            # the zero-shuffle builder chunks by input partition — spread
+            # by ext_id so the chunking itself parallelizes
+            base = base.repartition(spark.sparkContext.defaultParallelism, "ext_id")
+        else:
+            # repartition directly ON segment_id (deterministic from
+            # ext_id): the flush's groupBy(segment_id) below reuses this
+            # hash partitioning, so the fat `content` column crosses the
+            # wire ONCE — previously an even-spread repartition(ext_id)
+            # was followed by the groupBy's own exchange, shuffling every
+            # document text twice (guide §2.4 share one exchange)
+            base = base.repartition(
+                spark.sparkContext.defaultParallelism, "segment_id"
+            )
 
     # -- stage: the fused segment flush. ONE shuffle (groupBy segment), ONE
     #    pandas pass per segment emitting postings + doc_map + norms +
@@ -652,9 +665,7 @@ def corpus_stats(spark: SparkSession, cat: IndexCatalog) -> tuple[int, float]:
     m = cat.read_manifest()
     fin = m["stages"].get("finalize", {})
     cached = fin.get("corpus_stats")
-    if cached and fin.get("at", 0) >= max(
-        (t.get("committed_at", 0) for t in m["tables"].values()), default=0
-    ):
+    if cached and fin.get("at", 0) >= stats_version(m):
         n = cached["n_docs"]
         return n, (cached["n_tokens"] / n if n else 0.0)
     row = (

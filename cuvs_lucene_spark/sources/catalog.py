@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from typing import Any
 
@@ -32,6 +33,31 @@ MANIFEST = "manifest.json"
 VERSION_START = 1
 VERSION_CURRENT = 1
 
+# DERIVED sidecar tables whose commits cannot change corpus/posting
+# statistics: the positional sidecar is built FROM the committed docs,
+# and the global dictionary is an aggregate OF the per-segment terms —
+# whenever either could be stale, segdata/tombstones were rewritten too
+# (and bump the version themselves). Excluding them from the statistics
+# version keeps the query-side caches (corpus stats, term-df memo, norms
+# broadcast, impact cache) valid across e.g. a build_positions commit —
+# without this, every query after a positions build re-ran the full
+# corpus-stats aggregate and per-term df lookups (2+ extra Spark jobs
+# per query, measured at sf1.0).
+STATS_SIDECAR_TABLES = frozenset({"positions", "terms_global"})
+
+
+def stats_version(manifest: dict) -> float:
+    """Monotone version of everything that can affect corpus/posting
+    statistics: max committed_at over non-sidecar tables."""
+    return max(
+        (
+            e.get("committed_at", 0)
+            for t, e in manifest.get("tables", {}).items()
+            if t not in STATS_SIDECAR_TABLES
+        ),
+        default=0,
+    )
+
 
 class IndexCatalog:
     """One index root directory holding versioned parquet tables + manifest."""
@@ -39,6 +65,13 @@ class IndexCatalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # serializes manifest read-modify-write sections so INDEPENDENT
+        # tables can be written from concurrent driver threads (guide
+        # §2.6 overlap independent jobs — the ANN build/merge commit
+        # several derived tables whose Spark jobs can run at once); the
+        # parquet writes themselves run OUTSIDE the lock. Concurrent
+        # writers of the SAME table remain unsupported.
+        self._mlock = threading.RLock()
 
     # ------------------------------------------------------------- manifest
     def _manifest_path(self) -> str:
@@ -136,11 +169,12 @@ class IndexCatalog:
         extra_entry: dict | None = None,
     ) -> str:
         """Write ``df`` as a NEW snapshot of ``table`` and commit atomically."""
-        m = self.read_manifest()
-        prev = m["tables"].get(table)
-        if prev is not None and prev.get("view"):
-            prev = None if prev.get("snapshot") is None else prev
-        snap_n = (prev["n"] + 1) if prev else (m["tables"].get(table, {}).get("n", 0) + 1)
+        with self._mlock:
+            m = self.read_manifest()
+            prev = m["tables"].get(table)
+            if prev is not None and prev.get("view"):
+                prev = None if prev.get("snapshot") is None else prev
+            snap_n = (prev["n"] + 1) if prev else (m["tables"].get(table, {}).get("n", 0) + 1)
         snap = f"snap-{snap_n:06d}"
         out = os.path.join(self.root, table, snap)
         w = df
@@ -159,15 +193,20 @@ class IndexCatalog:
         hist = (prev.get("history", []) if prev else [])
         if prev:
             hist = hist + [prev["snapshot"]]
-        m["tables"][table] = {
-            "snapshot": snap,
-            "n": snap_n,
-            "history": hist[-5:],
-            "committed_at": time.time(),
-            "lineage": lineage or {},
-            **(extra_entry or {}),
-        }
-        self._write_manifest(m)
+        with self._mlock:
+            # RE-READ at commit time: a concurrent writer of another
+            # table may have advanced the manifest while our parquet job
+            # ran — committing the stale copy would drop its entry
+            m = self.read_manifest()
+            m["tables"][table] = {
+                "snapshot": snap,
+                "n": snap_n,
+                "history": hist[-5:],
+                "committed_at": time.time(),
+                "lineage": lineage or {},
+                **(extra_entry or {}),
+            }
+            self._write_manifest(m)
         # prune snapshots that fell off the retained history
         keep = set(hist[-5:]) | {snap}
         tdir = os.path.join(self.root, table)
@@ -182,13 +221,14 @@ class IndexCatalog:
         logical tables — postings, doc_map, norms, terms, segment_stats —
         are kind-filtered views of it). A later ``write(table)`` (e.g. by a
         merge) materializes the table and replaces the view."""
-        m = self.read_manifest()
-        m["tables"][table] = {
-            "view": {"of": of_table, "where": where, "select": select},
-            "snapshot": None,
-            "n": m["tables"].get(table, {}).get("n", 0),
-        }
-        self._write_manifest(m)
+        with self._mlock:
+            m = self.read_manifest()
+            m["tables"][table] = {
+                "view": {"of": of_table, "where": where, "select": select},
+                "snapshot": None,
+                "n": m["tables"].get(table, {}).get("n", 0),
+            }
+            self._write_manifest(m)
 
     def read(
         self, spark: SparkSession, table: str, merge_schema: bool = False
@@ -206,14 +246,38 @@ class IndexCatalog:
         dirs = self.table_dirs(table)
         if not dirs:
             raise FileNotFoundError(f"table {table!r} not committed in {self.root}")
+        dropped = tuple(ent.get("dropped_segments") or ()) if ent else ()
+        # memoize the INFERRED SCHEMA per immutable snapshot state: every
+        # schemaless spark.read.parquet runs a driver-side footer job, so
+        # repeat queries against an unchanged table were paying one small
+        # Spark job per cat.read. Passing the cached schema skips that
+        # job while still minting a FRESH DataFrame (fresh expression
+        # ids) per call — memoizing the DataFrame itself would alias
+        # self-joined reads into ambiguous-column errors. Snapshot dirs
+        # are immutable once committed (appends/rewrites mint NEW dirs →
+        # new key), so a cached schema can never go stale.
+        key = (
+            spark.sparkContext.applicationId, table, tuple(dirs),
+            bool(merge_schema),
+        )
+        memo = self.__dict__.setdefault("_schema_memo", {})
+        schema = memo.get(key)
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
+        if schema is not None:
+            reader = reader.schema(schema)
         df = reader.parquet(*dirs)
+        if schema is None:
+            # superseded snapshot states of the same table can never be
+            # read again — drop their entries (bounds the memo at one
+            # per table)
+            for k in [k for k in memo if k[1] == table and k != key]:
+                del memo[k]
+            memo[key] = df.schema
         # logical segment drops (incremental merge): merged-away segments
         # stay on disk until a compaction rewrite but are filtered at every
         # read — the Lucene deleted-segment / Iceberg delete-manifest model
-        dropped = ent.get("dropped_segments") if ent else None
         if dropped:
             df = df.filter(~df["segment_id"].isin([int(x) for x in dropped]))
         return df
@@ -221,14 +285,15 @@ class IndexCatalog:
     def define_views(self, views: dict, of_table: str) -> None:
         """Register several views in ONE atomic manifest commit (used by
         merge so the view set can never be observed half-updated)."""
-        m = self.read_manifest()
-        for name, (where, select) in views.items():
-            m["tables"][name] = {
-                "view": {"of": of_table, "where": where, "select": select},
-                "snapshot": None,
-                "n": m["tables"].get(name, {}).get("n", 0),
-            }
-        self._write_manifest(m)
+        with self._mlock:
+            m = self.read_manifest()
+            for name, (where, select) in views.items():
+                m["tables"][name] = {
+                    "view": {"of": of_table, "where": where, "select": select},
+                    "snapshot": None,
+                    "n": m["tables"].get(name, {}).get("n", 0),
+                }
+            self._write_manifest(m)
 
     def append(
         self,
@@ -246,31 +311,40 @@ class IndexCatalog:
         REPLACES the previous increment instead of duplicating it. The new
         increment is written and committed BEFORE the old directory is
         removed, so a crash at any point leaves a readable snapshot."""
-        m = self.read_manifest()
-        ent = m["tables"].get(table)
+        with self._mlock:
+            m = self.read_manifest()
+            ent = m["tables"].get(table)
+            if ent is not None and ent.get("view") and ent.get("snapshot") is None:
+                raise ValueError(
+                    f"{table!r} is a view; append to {ent['view']['of']!r}"
+                )
+            n = (ent["n"] + 1) if ent is not None else 0
         if ent is None:
             return self.write(df, table)
-        if ent.get("view") and ent.get("snapshot") is None:
-            raise ValueError(f"{table!r} is a view; append to {ent['view']['of']!r}")
-        tags = ent.get("append_tags", {})
-        prev = tags.get(tag) if tag is not None else None
-        n = ent["n"] + 1
         snap = f"snap-{n:06d}"
         out = os.path.join(self.root, table, snap)
         df.write.mode("overwrite").option(
             "parquet.block.size", 4 * 1024 * 1024
         ).parquet(out)
-        ent["n"] = n
-        ent["appends"] = [s for s in ent.get("appends", []) if s != prev] + [snap]
-        if tag is not None:
-            tags[tag] = snap
-            ent["append_tags"] = tags
-        if extra_entry:
-            # e.g. dropped_segments: committed in the SAME manifest write as
-            # the new increment, so merged data and its drops flip together
-            ent.update(extra_entry)
-        ent["committed_at"] = time.time()
-        self._write_manifest(m)  # commit point: new increment visible, old gone
+        with self._mlock:
+            # RE-READ at commit time (see write()): keep entries a
+            # concurrent writer of another table committed meanwhile
+            m = self.read_manifest()
+            ent = m["tables"][table]
+            tags = ent.get("append_tags", {})
+            prev = tags.get(tag) if tag is not None else None
+            ent["n"] = n
+            ent["appends"] = [s for s in ent.get("appends", []) if s != prev] + [snap]
+            if tag is not None:
+                tags[tag] = snap
+                ent["append_tags"] = tags
+            if extra_entry:
+                # e.g. dropped_segments: committed in the SAME manifest
+                # write as the new increment, so merged data and its
+                # drops flip together
+                ent.update(extra_entry)
+            ent["committed_at"] = time.time()
+            self._write_manifest(m)  # commit point: new increment visible, old gone
         if prev:
             shutil.rmtree(os.path.join(self.root, table, prev), ignore_errors=True)
         return out
@@ -292,14 +366,16 @@ class IndexCatalog:
         return self.read_manifest()["stages"].get(stage, {}).get("status") == "done"
 
     def mark_stage(self, stage: str, status: str = "done", **metrics: Any) -> None:
-        m = self.read_manifest()
-        m["stages"][stage] = {"status": status, "at": time.time(), **metrics}
-        self._write_manifest(m)
+        with self._mlock:
+            m = self.read_manifest()
+            m["stages"][stage] = {"status": status, "at": time.time(), **metrics}
+            self._write_manifest(m)
 
     def set_config(self, cfg: dict) -> None:
-        m = self.read_manifest()
-        m["config"] = cfg
-        self._write_manifest(m)
+        with self._mlock:
+            m = self.read_manifest()
+            m["config"] = cfg
+            self._write_manifest(m)
 
 
 class CommitPointReader(IndexCatalog):

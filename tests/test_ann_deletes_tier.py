@@ -227,10 +227,12 @@ def test_missing_ivfpq_rows_stay_reachable(spark, tmp_path):
 
 
 def test_crash_before_any_derived_append_ivf_safe(spark, tmp_path, monkeypatch):
-    """Crash at the FIRST derived append (ann_sq — so ann_sq/bq/ivf/... are
-    all stale: old segments' rows still visible, new segments' missing):
-    IVF search and the kNN join must neither drop the merged vectors NOR
-    emit duplicates from the merged-away segments' stale lists."""
+    """Crash during the (now concurrent) derived appends, failing ann_sq:
+    the crashed table must be detected stale, any sibling table that DID
+    commit must be genuinely complete, and IVF search / the kNN join must
+    neither drop the merged vectors NOR emit duplicates from the
+    merged-away segments' stale lists. (ann_ivfpq runs after the
+    concurrent batch, so a batch crash always leaves it stale too.)"""
     cat, df = _build(spark, str(tmp_path / "ivfcrash"), cfg=NOCOMPACT)
     real_append = IndexCatalog.append
 
@@ -243,7 +245,9 @@ def test_crash_before_any_derived_append_ivf_safe(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="simulated crash"):
         A.merge_ann(spark, cat, NOCOMPACT)
     monkeypatch.setattr(IndexCatalog, "append", real_append)
-    assert not A._derived_in_sync(cat, "ann_ivf")
+    assert not A._derived_in_sync(cat, "ann_sq")
+    if cat.exists("ann_ivfpq"):
+        assert not A._derived_in_sync(cat, "ann_ivfpq")
 
     want = [
         (r["ext_id"], round(r["score"], 9))
