@@ -144,10 +144,15 @@ def repetition_stats(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     tok = f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)"
+    # token array bound once (single-element transform wrapper) with O(1)
+    # element_at per slot: the old slice-in-lambda spelling re-ran the
+    # tokenizer regexp and copied a sub-array per gram position
+    _parts = ", ".join(f"element_at(tk, i + {j})" for j in range(n))
     grams = (
         f"CASE WHEN size({tok}) >= {n} THEN "
-        f"sort_array(transform(sequence(1, size({tok}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({tok}, i, {n})))) "
+        f"sort_array(flatten(transform(array({tok}), tk -> "
+        f"transform(sequence(1, size(tk) - {n - 1}), "
+        f"i -> concat_ws(' ', {_parts}))))) "
         f"ELSE CAST(array() AS array<string>) END"
     )
     # one fold over the sorted grams: (prev, current run, best run, #distinct)
@@ -204,14 +209,22 @@ def winnow_fingerprints(
     docs shorter than k+w-1 tokens fall back to one whole-document hash.
     Output: one row per (id, fp) — sorted distinct selected hashes."""
     tok = f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)"
+    # two bound stages (single-element transform wrappers): tokens once,
+    # then EVERY gram hash exactly once into `gh`, then each window's min
+    # is a w-element slice of gh. The old spelling re-ran the tokenizer
+    # regexp, re-built the gram slice AND re-hashed the gram for every
+    # (window, offset) pair — O(T·w·k) hashes where O(T) suffices.
     gram_hash = (
-        f"CAST(conv(substring(md5(concat_ws(' ', slice({tok}, j, {k}))), 1, 8), 16, 10) AS BIGINT)"
+        f"CAST(conv(substring(md5(concat_ws(' ', "
+        + ", ".join(f"element_at(tk, j + {x})" for x in range(k))
+        + ")), 1, 8), 16, 10) AS BIGINT)"
     )
     fps = f"""
 CASE WHEN size({tok}) >= {k + w - 1} THEN
-  sort_array(array_distinct(
-    transform(sequence(1, size({tok}) - {k + w - 2}),
-      i -> array_min(transform(sequence(i, i + {w - 1}), j -> {gram_hash})))))
+  sort_array(array_distinct(flatten(transform(array({tok}), tk ->
+    flatten(transform(
+      array(transform(sequence(1, size(tk) - {k - 1}), j -> {gram_hash})), gh ->
+      transform(sequence(1, size(gh) - {w - 1}), i -> array_min(slice(gh, i, {w})))))))))
 ELSE array(CAST(conv(substring(md5(concat_ws(' ', {tok})), 1, 8), 16, 10) AS BIGINT))
 END
 """.strip()

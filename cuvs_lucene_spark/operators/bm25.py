@@ -138,7 +138,6 @@ def _norms_broadcast(spark: SparkSession, cat: IndexCatalog):
     return bc
 
 
-HOT_POSTINGS_TOP_N = 512        # hottest terms eligible for the impact cache
 HOT_POSTINGS_MAX_BYTES = 512 << 20  # per-executor byte budget for the cache
                                     # (a fraction of executor memory: the
                                     # working set of a repeated batch in
@@ -235,17 +234,19 @@ def _hot_postings_broadcast(
     snapshots unpersisted), byte-budgeted (``HOT_POSTINGS_MAX_BYTES``),
     whole-term admission.
 
-    Two admission sources, mirroring a real block cache:
-
-    - **df head**: the ``HOT_POSTINGS_TOP_N`` hottest terms by document
-      frequency, admitted hottest-first at build (the Zipf head carries
-      most posting bytes);
-    - **access-driven** (``want_idf``): terms a batch actually requests
-      are admitted on first access while budget remains (each term's
-      entries cost one pruned scan — the same scan the hybrid tier would
-      pay anyway), so a REPEATED batch over any term set converges to the
-      zero-scan path. Over-budget terms land in a ``denied`` set and stay
-      on the hybrid scan without re-attempting admission.
+    Admission is purely ACCESS-DRIVEN (demand fill, like a real block
+    cache): terms a batch actually requests (``want_idf``) are admitted
+    on first access while budget remains — each admission round costs
+    ONE pruned scan of exactly the requested terms' postings, so a
+    REPEATED batch over any term set converges to the zero-scan path and
+    the cache converges to the live traffic's working set. Over-budget
+    terms land in a ``denied`` set and stay on the hybrid scan without
+    re-attempting admission. (An earlier design pre-admitted the df-head
+    Zipf terms at first use; that made the first batch after every
+    commit pay a corpus-proportional head scan — linear in corpus size,
+    regardless of what the batch asked for — for terms no query may ever
+    touch. Demand fill bounds every scan by the requesting batch's own
+    term set.)
 
     This is the block-cache attack on the DRAM-bound repeat-batch path:
     without it every batch run re-reads the postings parquet, re-ships it
@@ -269,62 +270,23 @@ def _hot_postings_broadcast(
     Returns (tuple of broadcasts newest-last, covered_terms frozenset) or
     ((), frozenset()) when unavailable; look entries up with
     :func:`_cache_get`."""
-    memo = getattr(cat, "_term_df_memo", None)
-    if not memo or not memo.get("df"):
-        warm_term_df_memo(spark, cat)
-        memo = getattr(cat, "_term_df_memo", None)
-        if not memo or not memo.get("df"):
-            return (), frozenset()
     ver = _hot_cache_key(cat, cfg)
     hp = getattr(cat, "_hotpost_memo", None)
     if hp is None or hp["ver"] != ver:
-        n, _avgdl = corpus_stats(spark, cat)
-        # the df head may claim at most HALF the budget: the other half is
-        # reserved for ACCESS-driven admission — without the reserve, a
-        # heavy Zipf head fills the whole budget and the (often tiny)
-        # terms real batches ask for are denied forever, pinning every
-        # repeat run to the hybrid tail scan
-        budget_head = HOT_POSTINGS_MAX_BYTES // 2
-        # pre-admission by ESTIMATED size (df × ~13 bytes in impact form):
-        # a term that cannot fit is never even scanned, and the cumulative
-        # estimate caps the driver-side assembly at ~2× the budget — no
-        # unbounded collect at any corpus scale
-        hot: list[str] = []
-        cum = 0
-        for t, d in sorted(memo["df"].items(), key=lambda kv: (-kv[1], kv[0]))[
-            :HOT_POSTINGS_TOP_N
-        ]:
-            if d <= 0:
-                continue
-            est = d * 13
-            if est > budget_head or cum + est > 2 * budget_head:
-                continue
-            hot.append(t)
-            cum += est
-        if not hot and not want_idf:
+        if not want_idf:
+            # no requester: nothing to admit (demand fill only) — leave
+            # any stale snapshot in place for the next admitting call to
+            # retire, and report no coverage
             return (), frozenset()
-        entries, bytes_of = (
-            _precompute_entries(
-                spark, cat, cfg, {t: idf(n, memo["df"][t]) for t in hot}
-            )
-            if hot else ({}, {})
-        )
-        cache: dict[str, dict[int, tuple[bytes, bytes]]] = {}
-        for t in hot:  # hottest-first admission, whole terms only
-            if t in entries and bytes_of[t] <= budget_head:
-                cache[t] = entries[t]
-                budget_head -= bytes_of[t]
-        budget = HOT_POSTINGS_MAX_BYTES // 2 + budget_head
-        bc = spark.sparkContext.broadcast(cache)
-        if hp is not None:
+        if hp is not None:  # superseded snapshot: drop its broadcasts
             for old in hp["bcs"]:
                 try:
                     old.unpersist()
                 except Exception:
                     pass
         hp = {
-            "ver": ver, "bcs": [bc], "terms": frozenset(cache),
-            "budget": budget, "denied": set(),
+            "ver": ver, "bcs": [], "terms": frozenset(),
+            "budget": HOT_POSTINGS_MAX_BYTES, "denied": set(),
         }
         cat._hotpost_memo = hp
     if want_idf:

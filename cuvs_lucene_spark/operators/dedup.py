@@ -100,14 +100,27 @@ def dedup_keep_list(
 
 
 def _shingles(text_col: str, n: int = 3):
-    """Distinct n-token shingles as a JVM expression (no UDF)."""
+    """Distinct n-token shingles as a JVM expression (no UDF).
+
+    The token array is BOUND ONCE via a single-element ``transform``
+    wrapper (``tk``), and each shingle is assembled from ``n`` O(1)
+    ``element_at`` lookups. The previous spelling embedded the
+    ``regexp_extract_all`` call and a ``slice`` copy inside the
+    per-position lambda — Catalyst skips subexpression elimination in
+    lambda trees, so the tokenizer regexp re-ran for EVERY position
+    (O(tokens) regex evaluations per document) and each slice allocated
+    a fresh sub-array: O(tokens²) work per doc where O(tokens) suffices.
+    Values are unchanged."""
     toks = tokenize_expr(text_col)
+    pat = f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)"
+    parts = ", ".join(f"element_at(tk, i + {j})" for j in range(n))
     return F.array_distinct(
         F.when(
             F.size(toks) >= n,
             F.expr(
-                f"transform(sequence(1, size(regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)) - {n - 1}), "
-                f"i -> concat_ws(' ', slice(regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0), i, {n})))"
+                f"flatten(transform(array({pat}), tk -> "
+                f"transform(sequence(1, size(tk) - {n - 1}), "
+                f"i -> concat_ws(' ', {parts}))))"
             ),
         ).otherwise(F.array(F.array_join(toks, " ")))
     )
@@ -122,32 +135,66 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 def _minhash_wide(
     docs: DataFrame, id_col: str, text_col: str, n_perm: int, shingle_n: int
 ) -> DataFrame:
-    """(id, mh_0..mh_{P-1}): per-doc minhashes as a NARROW per-row
-    projection — mh_p = array_min(transform(shingles, s -> md5(p|'|'|s))).
+    """(id, mh_0..mh_{P-1}): per-doc minhashes, one narrow Arrow-batched
+    pass — mh_p = min over distinct shingles of md5(p || '|' || shingle).
 
-    Zero shuffles and zero row explosion: the shingle array is
-    materialized once in an intermediate select (its own projection, so
-    CollapseProject keeps the expensive regexp/transform tree single-
-    evaluation despite P downstream references), then every minhash is a
-    per-row array fold. Replaces the previous explode → groupBy(id)
-    shape: the min over exploded shingle rows equals the array_min over
-    the (already-distinct) shingle array, with the full-corpus shingle
-    shuffle and hash-aggregate removed outright (guide §2.4)."""
-    def _mh(p: int):
-        # closure factory, NOT a default arg: pyspark binds one lambda
-        # variable per parameter, so a 2-arg lambda would receive the
-        # array index as its second argument
-        return lambda s: F.md5(F.concat_ws("|", F.lit(p), s))
+    Zero shuffles and zero row explosion (replaces the original
+    explode → groupBy(id) shape — the min over exploded shingle rows
+    equals the per-row min over the distinct shingle set). The hashing
+    runs as hashlib (C) over whole Arrow batches per guide §4.2: the
+    equivalent Catalyst spelling (P × array_min(transform(md5(...)))) is
+    a higher-order function that codegen cannot compile, so every one of
+    the P × shingles md5 calls went through the interpreted expression
+    evaluator with per-call allocation (~4s at sf1.0, and strongly
+    sensitive to JVM heap state). Values are identical: hashlib md5 hex
+    == Spark md5, and lowercase-hex strings order the same under Python
+    str and UTF8String binary comparison (ASCII)."""
+    import pandas as pd
 
-    return _spread(docs).select(
-        F.col(id_col).alias("id"), _shingles(text_col, shingle_n).alias("_sh")
-    ).select(
-        "id",
-        *[
-            F.array_min(F.transform(F.col("_sh"), _mh(p))).alias(f"mh_{p}")
-            for p in range(n_perm)
-        ],
+    schema = "id long, " + ", ".join(f"mh_{p} string" for p in range(n_perm))
+    prefixes = [f"{p}|".encode() for p in range(n_perm)]
+    bare = [str(p).encode() for p in range(n_perm)]
+    n_sh = int(shingle_n)
+
+    def kernel(batches):
+        import hashlib
+
+        from cuvs_lucene_spark.functions.tokenize import tokenize_py
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            null_mask = pdf["_t"].isna().to_numpy()
+            toks = tokenize_py(pdf["_t"])
+            cols: dict[str, list] = {f"mh_{p}": [] for p in range(n_perm)}
+            for tl, is_null in zip(toks, null_mask):
+                if is_null:
+                    # NULL text: tokenize is NULL, array_join(NULL) is
+                    # NULL, and concat_ws SKIPS the null shingle — the
+                    # hashed payload is the permutation index alone
+                    # (no separator), matching the Catalyst semantics
+                    for p in range(n_perm):
+                        cols[f"mh_{p}"].append(md5(bare[p]).hexdigest())
+                    continue
+                if len(tl) >= n_sh:
+                    sh = {
+                        " ".join(tl[i : i + n_sh])
+                        for i in range(len(tl) - n_sh + 1)
+                    }
+                    enc = [s.encode() for s in sh]
+                else:
+                    enc = [" ".join(tl).encode()]
+                for p, pref in enumerate(prefixes):
+                    cols[f"mh_{p}"].append(
+                        min(md5(pref + e).hexdigest() for e in enc)
+                    )
+            yield pd.DataFrame({"id": pdf["id"], **cols})
+
+    base = _spread(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).cast("string").alias("_t")
+        )
     )
+    return base.mapInPandas(kernel, schema)
 
 
 def minhash_signatures(
@@ -734,13 +781,18 @@ def ngram_contamination(
         raise ValueError("n must be >= 1")
 
     def grams(df: DataFrame):
+        # token array bound ONCE via the single-element transform wrapper
+        # (see _shingles): the old spelling re-ran the tokenizer regexp
+        # and allocated a slice copy per gram position inside the lambda
         toks = tokenize_expr(text_col)
         pat = "regexp_extract_all(lower({c}), '[a-z0-9_]+', 0)".format(c=text_col)
+        parts = ", ".join(f"element_at(tk, i + {j})" for j in range(n))
         return F.when(
             F.size(toks) >= n,
             F.expr(
-                f"transform(sequence(1, size({pat}) - {n - 1}), "
-                f"i -> concat_ws(' ', slice({pat}, i, {n})))"
+                f"flatten(transform(array({pat}), tk -> "
+                f"transform(sequence(1, size(tk) - {n - 1}), "
+                f"i -> concat_ws(' ', {parts}))))"
             ),
         ).otherwise(F.array().cast("array<string>"))
 

@@ -70,17 +70,19 @@ def test_hybrid_partial_coverage_bit_identical(spark, cat, monkeypatch):
     with monkeypatch.context() as mp:
         mp.setattr(B, "_hot_postings_broadcast", lambda *a, **k: (None, frozenset()))
         want = _rows(B.bm25_topk_batch(spark, cat, QSPECS, CFG))
-    # rebuild the cache with room for only the 2 hottest terms and ZERO
-    # remaining budget → access-driven admission denies the rest → hybrid
-    with monkeypatch.context() as mp:
-        mp.setattr(B, "HOT_POSTINGS_TOP_N", 2)
-        cat._hotpost_memo = None
-        B._hot_postings_broadcast(spark, cat, CFG)  # head-only build
-        hp = cat._hotpost_memo
-        assert hp is not None and 0 < len(hp["terms"]) <= 2  # genuinely partial
-        hp["budget"] = 0  # extension cannot admit → tail stays scanned
-        got = _rows(B.bm25_topk_batch(spark, cat, QSPECS, CFG))
-        assert len(hp["terms"]) <= 2 and hp["denied"]  # still partial
+    # build a cache covering only 2 terms (demand-fill via a real 2-term
+    # batch, so contributions bake the TRUE idfs), then ZERO the
+    # remaining budget → later admission denies the rest → the batch
+    # takes the hybrid tier (cached head + scanned tail)
+    cat._hotpost_memo = None
+    B.bm25_topk_batch(
+        spark, cat, {"seed": {"terms": ["join", "dup"], "mode": "or", "k": 3}}, CFG
+    ).collect()
+    hp = cat._hotpost_memo
+    assert hp is not None and 0 < len(hp["terms"]) <= 2  # genuinely partial
+    hp["budget"] = 0  # extension cannot admit → tail stays scanned
+    got = _rows(B.bm25_topk_batch(spark, cat, QSPECS, CFG))
+    assert len(hp["terms"]) <= 2 and hp["denied"]  # still partial
     cat._hotpost_memo = None  # drop the tiny cache for later tests
     assert got == want and want
 
@@ -152,26 +154,27 @@ def test_access_admission_ships_delta_broadcast(spark, cat, monkeypatch):
     with monkeypatch.context() as mp:
         mp.setattr(B, "_hot_postings_broadcast", lambda *a, **k: ((), frozenset()))
         want = _rows(B.bm25_topk_batch(spark, cat, extra, CFG))
-    with monkeypatch.context() as mp:
-        # tiny df-head → "window"/"stream" are NOT in the base cache and
-        # must arrive via access-driven delta admission
-        mp.setattr(B, "HOT_POSTINGS_TOP_N", 2)
-        cat._hotpost_memo = None
-        B._hot_postings_broadcast(spark, cat, CFG)  # head-only base build
-        hp = cat._hotpost_memo
-        base_layers = list(hp["bcs"])
-        base_terms = set(hp["terms"])
-        assert not ({"batch", "filter"} & base_terms)
-        got = _rows(B.bm25_topk_batch(spark, cat, extra, CFG))
-        assert got == want and want
-        hp = cat._hotpost_memo
-        assert {"batch", "filter"} <= set(hp["terms"])  # admitted
-        # base layer object(s) untouched; exactly one delta appended,
-        # carrying ONLY the newly admitted terms
-        assert hp["bcs"][: len(base_layers)] == base_layers
-        assert len(hp["bcs"]) == len(base_layers) + 1
-        delta = hp["bcs"][-1].value
-        assert set(delta) == set(hp["terms"]) - base_terms
+    # demand-fill a 2-term base cache (real batch → true idfs) →
+    # "batch"/"filter" are NOT in it and must arrive via a later
+    # access-driven delta admission
+    cat._hotpost_memo = None
+    B.bm25_topk_batch(
+        spark, cat, {"seed": {"terms": ["join", "dup"], "mode": "or", "k": 3}}, CFG
+    ).collect()
+    hp = cat._hotpost_memo
+    base_layers = list(hp["bcs"])
+    base_terms = set(hp["terms"])
+    assert not ({"batch", "filter"} & base_terms)
+    got = _rows(B.bm25_topk_batch(spark, cat, extra, CFG))
+    assert got == want and want
+    hp = cat._hotpost_memo
+    assert {"batch", "filter"} <= set(hp["terms"])  # admitted
+    # base layer object(s) untouched; exactly one delta appended,
+    # carrying ONLY the newly admitted terms
+    assert hp["bcs"][: len(base_layers)] == base_layers
+    assert len(hp["bcs"]) == len(base_layers) + 1
+    delta = hp["bcs"][-1].value
+    assert set(delta) == set(hp["terms"]) - base_terms
     cat._hotpost_memo = None
 
 
@@ -179,7 +182,9 @@ def test_layer_consolidation_bounds_broadcast_count(spark, cat):
     """More than HOT_POSTINGS_MAX_LAYERS admission rounds consolidate into
     one broadcast — the layer list never grows unboundedly."""
     cat._hotpost_memo = None
-    B._hot_postings_broadcast(spark, cat, CFG)
+    B._hot_postings_broadcast(
+        spark, cat, CFG, want_idf={"join": 1.0}, want_df={"join": 5}
+    )
     hp = cat._hotpost_memo
     assert hp is not None
     # synthesize many single-term admission rounds against the real API
