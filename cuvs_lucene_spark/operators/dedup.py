@@ -1,23 +1,29 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All hot paths are pure Catalyst expressions (md5 / explode / joins —
-whole-stage codegen, shuffle only on compact keys), never crossJoin:
+Fingerprinting (minhash/simhash) runs as NARROW Arrow-batched kernels —
+hashlib/numpy over whole batches, zero shuffles, zero row explosion
+(optimization guide §4.2; the equivalent Catalyst higher-order spellings
+fall back to the interpreted expression evaluator). Candidate
+generation and verification are codegen'd equi-joins on compact keys —
+never crossJoin:
 
 - exact        — hash-groupBy on a canonical content fingerprint
-- minhash LSH  — shingle → P md5-minhashes → band signatures → bucket
-                 self-join (candidates only collide within a band bucket;
-                 at 10^12 docs the join key (band, sig) is uniformly
-                 distributed, so no skew salting is needed)
+- minhash LSH  — shingle → P md5-minhashes per row → band signatures →
+                 bucket groupBy + sorted-id pair expansion (candidates
+                 only collide within a band bucket; md5 signatures are
+                 uniformly distributed, so no skew salting is needed)
 - ngram-Jaccard— exact verification via shingle-equi-join (intersection
                  counted per pair; |A∪B| = |A|+|B|−|A∩B|), no pair
                  enumeration outside shared-shingle pairs
 - simhash      — 32-bit sign-aggregated token hashes (hex-parse parity
-                 with the DuckDB oracle is tested)
+                 with the DuckDB oracle is tested); near-dup pairs via
+                 band equi-join with the hamming verify INSIDE the join
+                 stage (only true pairs reach an exchange)
 - embedding    — cosine-threshold near-dup pairs; exact at test scale,
                  same verification composes with LSH/IVF buckets at scale
 
 Determinism: every hash is md5 of an explicit string — bit-stable across
-Spark, DuckDB, and re-runs (resumability).
+Spark (JVM md5), hashlib, DuckDB, and re-runs (resumability).
 """
 
 from __future__ import annotations

@@ -63,7 +63,9 @@ queries = []
 for i in range(48):
     queries.append(("phrase", [vocab[i %% 16], vocab[(i * 5 + 1) %% 16]]))
 for i in range(16):
-    queries.append(("span", [vocab[i %% 16], vocab[(i * 3 + 2) %% 16]]))
+    # +1 offset keeps the pair distinct for every i (2i+1 is odd, never
+    # 0 mod 16)
+    queries.append(("span", [vocab[i %% 16], vocab[(i * 3 + 1) %% 16]]))
 
 def run_batch():
     out = []
