@@ -270,10 +270,11 @@ class IndexCatalog:
         df = reader.parquet(*dirs)
         if schema is None:
             # superseded snapshot states of the same table can never be
-            # read again — drop their entries (bounds the memo at one
-            # per table)
-            for k in [k for k in memo if k[1] == table and k != key]:
-                del memo[k]
+            # read again — drop their entries (bounds the memo at one per
+            # table). list() snapshots the keys first: concurrent reads
+            # from the commit thread pool may insert while we prune.
+            for k in [k for k in list(memo) if k[1] == table and k != key]:
+                memo.pop(k, None)
             memo[key] = df.schema
         # logical segment drops (incremental merge): merged-away segments
         # stay on disk until a compaction rewrite but are filtered at every
