@@ -550,9 +550,19 @@ def grouped_dense_rank(
         n_partitions = max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
         )
-    ordered = df.repartitionByRange(
+    # materialize the input ONCE before range partitioning: the range
+    # partitioner's boundary SAMPLING executes its child in a separate
+    # job, so an un-materialized input plan (e.g. the merge's
+    # doc_map ⋈ groups ⋈ tombstones) ran fully twice — once for the
+    # sample, once for the shuffle (guide §2.4)
+    src = df.localCheckpoint(eager=True)
+    ordered = src.repartitionByRange(
         n_partitions, *group_cols, *order_cols
     ).localCheckpoint(eager=True)
+    try:
+        src.unpersist()
+    except Exception:
+        pass
     cnt_rows = (
         ordered.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid", *group_cols)
